@@ -1,0 +1,244 @@
+"""H.264 prediction: Intra16x16 / chroma intra modes and sub-pel motion
+compensation — spec-exact integer arithmetic (8.3, 8.4.2.2), numpy host
+reference shared by the encoder-reference path and the decoder.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+I16_V, I16_H, I16_DC, I16_PLANE = 0, 1, 2, 3
+CHROMA_DC, CHROMA_H, CHROMA_V, CHROMA_PLANE = 0, 1, 2, 3
+
+
+def intra16_pred(mode: int, top, left, topleft, bd: int = 8):
+    """16x16 luma prediction. top/left: length-16 int arrays or None."""
+    mid = 1 << (bd - 1)
+    if mode == I16_V:
+        assert top is not None
+        return np.tile(top.astype(np.int32), (16, 1))
+    if mode == I16_H:
+        assert left is not None
+        return np.tile(left.astype(np.int32).reshape(16, 1), (1, 16))
+    if mode == I16_DC:
+        if top is not None and left is not None:
+            dc = (int(top.sum()) + int(left.sum()) + 16) >> 5
+        elif top is not None:
+            dc = (int(top.sum()) + 8) >> 4
+        elif left is not None:
+            dc = (int(left.sum()) + 8) >> 4
+        else:
+            dc = mid
+        return np.full((16, 16), dc, dtype=np.int32)
+    if mode == I16_PLANE:
+        assert top is not None and left is not None and topleft is not None
+        t = top.astype(np.int64)
+        l = left.astype(np.int64)
+        tl = np.int64(topleft)
+        h = sum((x + 1) * (int(t[8 + x]) - int(t[6 - x] if x < 7 else tl))
+                for x in range(8))
+        v = sum((y + 1) * (int(l[8 + y]) - int(l[6 - y] if y < 7 else tl))
+                for y in range(8))
+        b = (5 * h + 32) >> 6
+        c = (5 * v + 32) >> 6
+        a = 16 * (int(l[15]) + int(t[15]))
+        yy, xx = np.mgrid[0:16, 0:16]
+        p = (a + b * (xx - 7) + c * (yy - 7) + 16) >> 5
+        return np.clip(p, 0, (1 << bd) - 1).astype(np.int32)
+    raise ValueError(mode)
+
+
+def chroma_pred(mode: int, top, left, topleft, bd: int = 8):
+    """8x8 chroma prediction (4:2:0). top/left length-8 or None."""
+    mid = 1 << (bd - 1)
+    if mode == CHROMA_V:
+        assert top is not None
+        return np.tile(top.astype(np.int32), (8, 1))
+    if mode == CHROMA_H:
+        assert left is not None
+        return np.tile(left.astype(np.int32).reshape(8, 1), (1, 8))
+    if mode == CHROMA_DC:
+        out = np.empty((8, 8), dtype=np.int32)
+        t, l = top, left
+
+        def dc4(tseg, lseg, prefer_both=True):
+            if tseg is not None and lseg is not None and prefer_both:
+                return (int(tseg.sum()) + int(lseg.sum()) + 4) >> 3
+            if tseg is not None:
+                return (int(tseg.sum()) + 2) >> 2
+            if lseg is not None:
+                return (int(lseg.sum()) + 2) >> 2
+            return mid
+
+        # (0,0): both; (4,0): top[4:8] pref, else left[0:4]; (0,4): left[4:8]
+        # pref, else top[0:4]; (4,4): both (top[4:8], left[4:8])
+        out[0:4, 0:4] = dc4(t[0:4] if t is not None else None,
+                            l[0:4] if l is not None else None)
+        if t is not None:
+            out[0:4, 4:8] = dc4(t[4:8], None)
+        elif l is not None:
+            out[0:4, 4:8] = dc4(None, l[0:4])
+        else:
+            out[0:4, 4:8] = mid
+        if l is not None:
+            out[4:8, 0:4] = dc4(None, l[4:8])
+        elif t is not None:
+            out[4:8, 0:4] = dc4(t[0:4], None)
+        else:
+            out[4:8, 0:4] = mid
+        out[4:8, 4:8] = dc4(t[4:8] if t is not None else None,
+                            l[4:8] if l is not None else None)
+        return out
+    if mode == CHROMA_PLANE:
+        t = top.astype(np.int64)
+        l = left.astype(np.int64)
+        tl = np.int64(topleft)
+        h = sum((x + 1) * (int(t[4 + x]) - int(t[2 - x] if x < 3 else tl))
+                for x in range(4))
+        v = sum((y + 1) * (int(l[4 + y]) - int(l[2 - y] if y < 3 else tl))
+                for y in range(4))
+        b = (17 * h + 16) >> 5
+        c = (17 * v + 16) >> 5
+        a = 16 * (int(l[7]) + int(t[7]))
+        yy, xx = np.mgrid[0:8, 0:8]
+        p = (a + b * (xx - 3) + c * (yy - 3) + 16) >> 5
+        return np.clip(p, 0, (1 << bd) - 1).astype(np.int32)
+    raise ValueError(mode)
+
+
+# ---------------------------------------------------------------------------
+# Motion compensation (8.4.2.2) — quarter-pel luma, eighth-pel chroma
+# ---------------------------------------------------------------------------
+def _clip_idx(i, lo, hi):
+    return np.clip(i, lo, hi)
+
+
+def pad_plane(plane: np.ndarray, pad: int = 32) -> np.ndarray:
+    """Edge-replicate padding — MC clamps coordinates to the picture, which
+    is equivalent to sampling an edge-padded plane."""
+    return np.pad(plane, pad, mode="edge")
+
+
+def mc_luma_block(ref_pad: np.ndarray, pad: int, x0: int, y0: int,
+                  w: int, h: int, mvx: int, mvy: int) -> np.ndarray:
+    """Luma MC for a w×h block at (x0,y0) with quarter-pel mv (spec-exact).
+
+    ref_pad is the reference plane padded by `pad` (>= 21) on all sides.
+    """
+    xi, yi = x0 + (mvx >> 2), y0 + (mvy >> 2)
+    xf, yf = mvx & 3, mvy & 3
+    # full-pel window with 6-tap margins: rows yi-2..yi+h+2, cols xi-2..xi+w+2
+    r0, c0 = yi - 2 + pad, xi - 2 + pad
+    win = ref_pad[r0:r0 + h + 5, c0:c0 + w + 5].astype(np.int32)
+
+    def tap6_h(a):  # horizontal 6-tap at half position, input (H, W+5)
+        return (a[:, 0:-5] - 5 * a[:, 1:-4] + 20 * a[:, 2:-3]
+                + 20 * a[:, 3:-2] - 5 * a[:, 4:-1] + a[:, 5:])
+
+    def tap6_v(a):
+        return (a[0:-5, :] - 5 * a[1:-4, :] + 20 * a[2:-3, :]
+                + 20 * a[3:-2, :] - 5 * a[4:-1, :] + a[5:, :])
+
+    G = win[2:2 + h, 2:2 + w]                        # integer samples
+    if xf == 0 and yf == 0:
+        return G
+    # half-pel b (horizontal): at rows 2.., intermediate for all needed rows
+    b1 = tap6_h(win)                                  # (h+5, w)
+    b = np.clip((b1[2:2 + h, :] + 16) >> 5, 0, 255)   # (h, w)
+    # half-pel hh (vertical)
+    h1 = tap6_v(win)                                  # (h, w+5)
+    hv = np.clip((h1[:, 2:2 + w] + 16) >> 5, 0, 255)  # (h, w)
+    # half-pel j (both): 6-tap vertical on b1 intermediates
+    j1 = tap6_v(b1)                                   # (h, w)
+    j = np.clip((j1 + 512) >> 10, 0, 255)
+
+    if (xf, yf) == (2, 0):
+        return b
+    if (xf, yf) == (0, 2):
+        return hv
+    if (xf, yf) == (2, 2):
+        return j
+    # quarter positions: average of two nearest
+    # neighbors at integer/half grid:
+    G1 = win[2:2 + h, 3:3 + w]    # G shifted right
+    G2 = win[3:3 + h, 2:2 + w]    # G shifted down
+    b_down = np.clip((b1[3:3 + h, :] + 16) >> 5, 0, 255)   # b at row+1
+    h_right = np.clip((h1[:, 3:3 + w] + 16) >> 5, 0, 255)  # h at col+1
+    table = {
+        (1, 0): (G, b), (3, 0): (b, G1),
+        (0, 1): (G, hv), (0, 3): (hv, G2),
+        (1, 1): (b, hv), (3, 1): (b, h_right),
+        (1, 3): (hv, b_down), (3, 3): (h_right, b_down),
+        (1, 2): (hv, j), (3, 2): (j, h_right),
+        (2, 1): (b, j), (2, 3): (j, b_down),
+    }
+    p, q = table[(xf, yf)]
+    return (p.astype(np.int32) + q.astype(np.int32) + 1) >> 1
+
+
+def mc_chroma_block(ref_pad: np.ndarray, pad: int, x0: int, y0: int,
+                    w: int, h: int, mvx: int, mvy: int) -> np.ndarray:
+    """Chroma MC: mv in luma quarter-pel == chroma eighth-pel (4:2:0)."""
+    xi, yi = x0 + (mvx >> 3), y0 + (mvy >> 3)
+    xf, yf = mvx & 7, mvy & 7
+    r0, c0 = yi + pad, xi + pad
+    A = ref_pad[r0:r0 + h, c0:c0 + w].astype(np.int32)
+    B = ref_pad[r0:r0 + h, c0 + 1:c0 + 1 + w].astype(np.int32)
+    C = ref_pad[r0 + 1:r0 + 1 + h, c0:c0 + w].astype(np.int32)
+    D = ref_pad[r0 + 1:r0 + 1 + h, c0 + 1:c0 + 1 + w].astype(np.int32)
+    return ((8 - xf) * (8 - yf) * A + xf * (8 - yf) * B
+            + (8 - xf) * yf * C + xf * yf * D + 32) >> 6
+
+
+def median_mv(a, b, c):
+    """Component-wise median of three MVs (tuples)."""
+    return (int(np.median([a[0], b[0], c[0]])),
+            int(np.median([a[1], b[1], c[1]])))
+
+
+def predict_mv_16x16(mvs, refs, mb_x, mb_y, mb_w):
+    """MV predictor for a P_L0_16x16 partition, single-ref (8.4.1.3).
+
+    mvs: dict (mbx,mby) -> (mvx,mvy); refs: dict (mbx,mby) -> ref (-1 intra/NA)
+    Returns predicted (mvx, mvy).
+    """
+    def get(x, y):
+        if x < 0 or y < 0 or x >= mb_w:
+            return None  # MB not available
+        if (x, y) not in mvs:
+            return None
+        return (mvs[(x, y)], refs[(x, y)])
+
+    A = get(mb_x - 1, mb_y)
+    B = get(mb_x, mb_y - 1)
+    C = get(mb_x + 1, mb_y - 1)
+    if C is None:
+        C = get(mb_x - 1, mb_y - 1)  # substitute D
+    # If B and C are unavailable and A is available → mvA
+    if B is None and C is None:
+        return A[0] if A is not None else (0, 0)
+    cand = []
+    for n in (A, B, C):
+        if n is None or n[1] != 0:
+            cand.append(((0, 0), -1))
+        else:
+            cand.append((n[0], n[1]))
+    same = [c for c in cand if c[1] == 0]
+    if len(same) == 1:
+        return same[0][0]
+    return median_mv(cand[0][0], cand[1][0], cand[2][0])
+
+
+def skip_mv(mvs, refs, mb_x, mb_y, mb_w):
+    """P_Skip motion vector (8.4.1.1)."""
+    def avail(x, y):
+        return not (x < 0 or y < 0 or x >= mb_w) and (x, y) in mvs
+
+    A_ok = avail(mb_x - 1, mb_y)
+    B_ok = avail(mb_x, mb_y - 1)
+    if not A_ok or not B_ok:
+        return (0, 0)
+    if refs[(mb_x - 1, mb_y)] == 0 and mvs[(mb_x - 1, mb_y)] == (0, 0):
+        return (0, 0)
+    if refs[(mb_x, mb_y - 1)] == 0 and mvs[(mb_x, mb_y - 1)] == (0, 0):
+        return (0, 0)
+    return predict_mv_16x16(mvs, refs, mb_x, mb_y, mb_w)

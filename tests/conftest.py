@@ -11,6 +11,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np
 import pytest
 
+# Compiles are relayed to a remote service here (PALLAS_AXON_REMOTE_COMPILE)
+# and can take minutes cold; persist compiled executables across test runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 
 @pytest.fixture
 def rng():
