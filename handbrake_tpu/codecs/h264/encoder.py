@@ -1,0 +1,561 @@
+"""H.264 encoder — macroblock layer, host reference path.
+
+Produces Baseline-profile CAVLC annex-B streams: IDR/I slices (Intra16x16 +
+chroma intra) and P slices (P_L0_16x16 motion compensation, P_Skip, intra
+fallback). One reference frame, one slice per picture, deblocking signalled
+off so reconstruction is bit-exact against any conformant decoder.
+
+Role of the reference's encx264.c work object (x264 replaced wholesale per
+SURVEY.md §2.5): this module is the *spec-arithmetic* reference; the batched
+TPU path (encoder_tpu.py) computes the per-MB analysis (mode decision, ME,
+transforms, quant) on device with identical integer math, and this MB walker
+consumes its arrays when provided.
+
+The sequential part — CAVLC bit packing — is host-side by design (SURVEY.md
+§7 "Hard parts #1").
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from . import predict as P
+from . import transform as T
+from .bits import BitWriter
+from .cavlc import encode_residual, nc_context
+from .syntax import (NAL_IDR, NAL_SLICE, PPS, SLICE_I, SLICE_P, SPS,
+                     SliceHeader)
+from .tables import CBP_INTER_INV, CBP_INTRA4x4_INV, ZIGZAG_4x4
+
+PAD = 32  # reference-plane edge padding for ME/MC
+
+
+def _ue_len(v: int) -> int:
+    return 2 * (v + 1).bit_length() - 1
+
+
+def _se_len(v: int) -> int:
+    k = (2 * v - 1) if v > 0 else (-2 * v)
+    return _ue_len(k)
+
+
+def _sad(a, b) -> int:
+    return int(np.abs(a.astype(np.int32) - b.astype(np.int32)).sum())
+
+
+@dataclasses.dataclass
+class EncoderConfig:
+    width: int
+    height: int
+    qp: int = 26
+    gop: int = 60                 # IDR interval in frames
+    search_range: int = 16        # full-pel ME radius
+    fps: tuple = (30000, 1001)
+    chroma_qp_offset: int = 0
+    level_idc: int = 40
+    # mode-decision lambda (x264-style); None → derived from qp
+    lm: float | None = None
+
+
+class MBCtx:
+    """Per-frame mutable coding state shared by encoder and decoder."""
+
+    def __init__(self, mb_w: int, mb_h: int):
+        self.mb_w, self.mb_h = mb_w, mb_h
+        self.nnz_l = np.zeros((mb_h * 4, mb_w * 4), np.int32)
+        self.nnz_cb = np.zeros((mb_h * 2, mb_w * 2), np.int32)
+        self.nnz_cr = np.zeros((mb_h * 2, mb_w * 2), np.int32)
+        self.mvs: dict = {}       # (mbx,mby) -> (mvx,mvy)
+        self.refs: dict = {}      # (mbx,mby) -> 0 inter | -1 intra
+
+    def nc_luma(self, by: int, bx: int) -> int:
+        return nc_context(int(self.nnz_l[by, bx - 1]) if bx > 0 else 0,
+                          int(self.nnz_l[by - 1, bx]) if by > 0 else 0,
+                          bx > 0, by > 0)
+
+    def nc_chroma(self, plane, by: int, bx: int) -> int:
+        return nc_context(int(plane[by, bx - 1]) if bx > 0 else 0,
+                          int(plane[by - 1, bx]) if by > 0 else 0,
+                          bx > 0, by > 0)
+
+
+def zigzag(block4: np.ndarray) -> list:
+    """4x4 coeff matrix → 16 levels in zigzag scan order."""
+    return [int(v) for v in block4.reshape(16)[ZIGZAG_4x4]]
+
+
+# ---------------------------------------------------------------------------
+# Intra luma 16x16: analyse + reconstruct
+# ---------------------------------------------------------------------------
+def _i16_neighbors(recon_y, mbx, mby):
+    x0, y0 = mbx * 16, mby * 16
+    top = recon_y[y0 - 1, x0:x0 + 16].astype(np.int32) if mby > 0 else None
+    left = recon_y[y0:y0 + 16, x0 - 1].astype(np.int32) if mbx > 0 else None
+    topleft = int(recon_y[y0 - 1, x0 - 1]) if (mbx > 0 and mby > 0) else None
+    return top, left, topleft
+
+
+def i16_candidate_modes(top, left, topleft):
+    modes = [P.I16_DC]
+    if top is not None:
+        modes.append(P.I16_V)
+    if left is not None:
+        modes.append(P.I16_H)
+    if top is not None and left is not None and topleft is not None:
+        modes.append(P.I16_PLANE)
+    return modes
+
+
+def encode_i16_luma(src16, pred16, qp):
+    """Transform+quant an I16 MB. Returns (dc_levels_scan, ac_levels[16][16],
+    recon16, cbp_ac, nnz_per_block[16 raster])."""
+    res = src16.astype(np.int32) - pred16
+    blocks = T.to_blocks4(np, res)                      # (16,4,4) raster
+    w = T.fdct4x4(np, blocks)
+    dc_raster = w[:, 0, 0].reshape(4, 4)                # DC per block, raster
+    dch = T.hadamard4x4(np, dc_raster[None])[0] // 2    # x264 dct4x4dc halving
+    dclv = T.quant_dc(np, dch, qp, intra=True)
+    ac = w.copy()
+    ac[:, 0, 0] = 0
+    aclv = T.quant4x4(np, ac, qp, intra=True)
+
+    # reconstruction (spec 8.5.6 + 8.5.12)
+    f = T.ihadamard4x4(np, dclv[None])[0]
+    dcq = T.dequant_luma_dc(np, f, qp)
+    dq = T.dequant4x4(np, aclv, qp)
+    dq[:, 0, 0] = dcq.reshape(16)
+    r = T.idct4x4(np, dq)
+    recon = np.clip(pred16 + T.from_blocks4(np, r, 16, 16), 0, 255)
+
+    nnz = (aclv.reshape(16, 16) != 0).sum(axis=1)
+    cbp_ac = int(nnz.sum() > 0)
+    dc_scan = [int(v) for v in dclv.reshape(16)[ZIGZAG_4x4]]
+    return dc_scan, aclv, recon, cbp_ac, nnz
+
+
+# ---------------------------------------------------------------------------
+# Chroma (shared by intra and inter MBs)
+# ---------------------------------------------------------------------------
+def encode_chroma(src8, pred8, qpc, intra):
+    """One chroma component 8x8. Returns (dc_scan4, ac_levels[4], recon8,
+    has_dc, has_ac, nnz_per_block[4 raster])."""
+    res = src8.astype(np.int32) - pred8
+    blocks = T.to_blocks4(np, res)                      # (4,4,4)
+    w = T.fdct4x4(np, blocks)
+    dc = w[:, 0, 0].reshape(2, 2)
+    dch = T.hadamard2x2(np, dc[None])[0]
+    dclv = T.quant_dc(np, dch, qpc, intra=intra)
+    ac = w.copy()
+    ac[:, 0, 0] = 0
+    aclv = T.quant4x4(np, ac, qpc, intra=intra)
+
+    f = T.hadamard2x2(np, dclv[None])[0]
+    dcq = T.dequant_chroma_dc(np, f, qpc)
+    dq = T.dequant4x4(np, aclv, qpc)
+    dq[:, 0, 0] = dcq.reshape(4)
+    r = T.idct4x4(np, dq)
+    recon = np.clip(pred8 + T.from_blocks4(np, r, 8, 8), 0, 255)
+
+    nnz = (aclv.reshape(4, 16) != 0).sum(axis=1)
+    dc_scan = [int(dclv[0, 0]), int(dclv[0, 1]), int(dclv[1, 0]),
+               int(dclv[1, 1])]
+    has_dc = any(v != 0 for v in dc_scan)
+    has_ac = bool(nnz.sum() > 0)
+    return dc_scan, aclv, recon, has_dc, has_ac, nnz
+
+
+def _chroma_neighbors(plane, mbx, mby):
+    x0, y0 = mbx * 8, mby * 8
+    top = plane[y0 - 1, x0:x0 + 8].astype(np.int32) if mby > 0 else None
+    left = plane[y0:y0 + 8, x0 - 1].astype(np.int32) if mbx > 0 else None
+    topleft = int(plane[y0 - 1, x0 - 1]) if (mbx > 0 and mby > 0) else None
+    return top, left, topleft
+
+
+def chroma_candidate_modes(top, left):
+    modes = [P.CHROMA_DC]
+    if left is not None:
+        modes.append(P.CHROMA_H)
+    if top is not None:
+        modes.append(P.CHROMA_V)
+    if top is not None and left is not None:
+        modes.append(P.CHROMA_PLANE)
+    return modes
+
+
+# ---------------------------------------------------------------------------
+# Inter: 16x16 full+subpel motion estimation (host reference; device path in
+# encoder_tpu computes the same SADs batched)
+# ---------------------------------------------------------------------------
+def motion_search(src16, ref_pad, x0, y0, pred_mv, rng, lm):
+    """Return (mvx, mvy) quarter-pel minimizing SAD + lm*mvd_bits."""
+    W = ref_pad.shape[1] - 2 * PAD
+    H = ref_pad.shape[0] - 2 * PAD
+    # clamp full-pel displacement so the 21x21 interp window stays inside pad
+    lo_x = max(-rng, -(x0 + PAD - 8))
+    hi_x = min(rng, W + PAD - 8 - (x0 + 16))
+    lo_y = max(-rng, -(y0 + PAD - 8))
+    hi_y = min(rng, H + PAD - 8 - (y0 + 16))
+
+    def cost_full(dx, dy):
+        blk = ref_pad[y0 + dy + PAD:y0 + dy + PAD + 16,
+                      x0 + dx + PAD:x0 + dx + PAD + 16]
+        mvd_bits = (_se_len(4 * dx - pred_mv[0]) + _se_len(4 * dy - pred_mv[1]))
+        return _sad(src16, blk) + lm * mvd_bits
+
+    # start at predicted mv (full-pel) and (0,0)
+    starts = {(0, 0), (int(np.clip(pred_mv[0] >> 2, lo_x, hi_x)),
+               int(np.clip(pred_mv[1] >> 2, lo_y, hi_y)))}
+    best, bc = (0, 0), None
+    for s in starts:
+        c = cost_full(*s)
+        if bc is None or c < bc:
+            best, bc = s, c
+    # diamond refinement
+    step = max(1, rng // 2)
+    while step >= 1:
+        improved = True
+        while improved:
+            improved = False
+            for dx, dy in ((step, 0), (-step, 0), (0, step), (0, -step)):
+                nx, ny = best[0] + dx, best[1] + dy
+                if not (lo_x <= nx <= hi_x and lo_y <= ny <= hi_y):
+                    continue
+                c = cost_full(nx, ny)
+                if c < bc:
+                    best, bc = (nx, ny), c
+                    improved = True
+        step //= 2
+
+    # sub-pel refine: half then quarter around the best
+    bmv = (best[0] * 4, best[1] * 4)
+    bcost = None
+    for phase in (2, 1):
+        cand_best = bmv
+        for dy in (-phase, 0, phase):
+            for dx in (-phase, 0, phase):
+                mv = (bmv[0] + dx, bmv[1] + dy)
+                blk = P.mc_luma_block(ref_pad, PAD, x0, y0, 16, 16,
+                                      mv[0], mv[1])
+                c = (_sad(src16, blk)
+                     + lm * (_se_len(mv[0] - pred_mv[0])
+                             + _se_len(mv[1] - pred_mv[1])))
+                if bcost is None or c < bcost:
+                    cand_best, bcost = mv, c
+        bmv = cand_best
+    return bmv
+
+
+def encode_inter_luma(src16, pred16, qp):
+    """Transform+quant inter residual. Returns (levels(16,4,4), recon16,
+    cbp_luma 4bit, nnz[16])."""
+    res = src16.astype(np.int32) - pred16
+    blocks = T.to_blocks4(np, res)
+    w = T.fdct4x4(np, blocks)
+    lv = T.quant4x4(np, w, qp, intra=False)
+    nnz = (lv.reshape(16, 16) != 0).sum(axis=1)
+    # cbp per 8x8 quadrant (raster-block index: quadrant = (i//8)*2+((i%4)//2))
+    idx = np.arange(16)
+    quad = (idx // 8) * 2 + (idx % 4) // 2
+    cbp = 0
+    for q in range(4):
+        if nnz[quad == q].sum() > 0:
+            cbp |= 1 << q
+    # zero uncoded quadrants (they are not transmitted)
+    for q in range(4):
+        if not (cbp >> q) & 1:
+            lv[quad == q] = 0
+            nnz[quad == q] = 0
+    dq = T.dequant4x4(np, lv, qp)
+    r = T.idct4x4(np, dq)
+    recon = np.clip(pred16 + T.from_blocks4(np, r, 16, 16), 0, 255)
+    return lv, recon, cbp, nnz
+
+
+# raster 4x4-block index within MB for coded (zig) order
+_CODED_ORDER = np.array([0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15])
+# _CODED_ORDER[k] = raster index of k-th coded block
+_CODED_ORDER_C = np.array([0, 1, 2, 3])
+
+
+class H264Encoder:
+    """Stateful one-ref H.264 encoder. encode_frame() → annex-B bytes."""
+
+    def __init__(self, cfg: EncoderConfig):
+        self.cfg = cfg
+        w, h = cfg.width, cfg.height
+        self.mb_w = (w + 15) // 16
+        self.mb_h = (h + 15) // 16
+        self.sps = SPS(width_mbs=self.mb_w, height_mbs=self.mb_h,
+                       crop_right=self.mb_w * 16 - w,
+                       crop_bottom=self.mb_h * 16 - h,
+                       level_idc=cfg.level_idc,
+                       vui_timing=(cfg.fps[1], 2 * cfg.fps[0]))
+        self.pps = PPS(pic_init_qp=cfg.qp,
+                       chroma_qp_index_offset=cfg.chroma_qp_offset)
+        self.frame_num = 0
+        self.idr_pic_id = 0
+        self.frame_idx = 0
+        self.recon_y = None
+        self.recon_u = None
+        self.recon_v = None
+        self.lm = cfg.lm if cfg.lm is not None else 0.85 * 2 ** ((cfg.qp - 12) / 3.0)
+
+    # -- frame-level -------------------------------------------------------
+    def headers(self) -> bytes:
+        return self.sps.to_nal() + self.pps.to_nal()
+
+    def _pad_to_mb(self, plane, mbsize):
+        Ht, Wt = self.mb_h * mbsize, self.mb_w * mbsize
+        h, w = plane.shape
+        if (h, w) == (Ht, Wt):
+            return plane.astype(np.int32)
+        return np.pad(plane.astype(np.int32),
+                      ((0, Ht - h), (0, Wt - w)), mode="edge")
+
+    def encode_frame(self, y, u, v, analysis=None) -> bytes:
+        """Encode one frame (y: HxW, u/v: H/2 x W/2, uint8). Returns NALs."""
+        idr = (self.frame_idx % self.cfg.gop) == 0
+        out = b""
+        if idr:
+            out += self.headers()
+            self.frame_num = 0
+        payload = self._encode_slice(
+            self._pad_to_mb(y, 16), self._pad_to_mb(u, 8),
+            self._pad_to_mb(v, 8), idr, analysis)
+        out += payload
+        self.frame_num = (self.frame_num + 1) % (1 << self.sps.log2_max_frame_num)
+        self.frame_idx += 1
+        return out
+
+    def _encode_slice(self, y, u, v, idr: bool, analysis=None) -> bytes:
+        qp = self.cfg.qp
+        qpc = T.chroma_qp(qp, self.cfg.chroma_qp_offset)
+        slice_type = SLICE_I if idr else SLICE_P
+        hdr = SliceHeader(slice_type=slice_type, idr=idr,
+                          frame_num=0 if idr else self.frame_num,
+                          idr_pic_id=self.idr_pic_id if idr else 0,
+                          qp=qp, disable_deblocking=1)
+        bw = hdr.write(self.sps, self.pps)
+
+        ctx = MBCtx(self.mb_w, self.mb_h)
+        new_y = np.zeros_like(y)
+        new_u = np.zeros_like(u)
+        new_v = np.zeros_like(v)
+        ref_y = ref_u = ref_v = None
+        if not idr:
+            ref_y = P.pad_plane(self.recon_y, PAD)
+            ref_u = P.pad_plane(self.recon_u, PAD)
+            ref_v = P.pad_plane(self.recon_v, PAD)
+
+        skip_run = 0
+        for mby in range(self.mb_h):
+            for mbx in range(self.mb_w):
+                skip_run = self._encode_mb(
+                    bw, y, u, v, new_y, new_u, new_v, ref_y, ref_u, ref_v,
+                    ctx, mbx, mby, qp, qpc, slice_type, skip_run, analysis)
+        if skip_run > 0:
+            bw.ue(skip_run)
+        bw.rbsp_trailing()
+        self.recon_y, self.recon_u, self.recon_v = new_y, new_u, new_v
+        if idr:
+            self.idr_pic_id = (self.idr_pic_id + 1) % 16
+        from .bits import nal_unit
+        return nal_unit(3, NAL_IDR if idr else NAL_SLICE, bw.get_rbsp())
+
+    # -- macroblock level --------------------------------------------------
+    def _encode_mb(self, bw, y, u, v, new_y, new_u, new_v,
+                   ref_y, ref_u, ref_v, ctx, mbx, mby, qp, qpc,
+                   slice_type, skip_run, analysis):
+        x0, y0 = mbx * 16, mby * 16
+        cx0, cy0 = mbx * 8, mby * 8
+        src16 = y[y0:y0 + 16, x0:x0 + 16]
+        srcu = u[cy0:cy0 + 8, cx0:cx0 + 8]
+        srcv = v[cy0:cy0 + 8, cx0:cx0 + 8]
+
+        # ---- analysis: intra candidate ----
+        top, left, topleft = _i16_neighbors(new_y, mbx, mby)
+        best_imode, best_ipred, best_icost = None, None, None
+        pre = None if analysis is None else analysis.get((mbx, mby))
+        imodes = i16_candidate_modes(top, left, topleft)
+        if pre is not None and pre.get("i16_mode") in imodes:
+            imodes = [pre["i16_mode"]]
+        for m in imodes:
+            pred = P.intra16_pred(m, top, left, topleft)
+            c = _sad(src16, pred) + self.lm * 4
+            if best_icost is None or c < best_icost:
+                best_imode, best_ipred, best_icost = m, pred, c
+
+        inter_ok = slice_type == SLICE_P
+        if inter_ok:
+            pred_mv = P.predict_mv_16x16(ctx.mvs, ctx.refs, mbx, mby,
+                                         self.mb_w)
+            if pre is not None and "mv" in pre:
+                mv = pre["mv"]
+            else:
+                mv = motion_search(src16, ref_y, x0, y0, pred_mv,
+                                   self.cfg.search_range, self.lm)
+            mc = P.mc_luma_block(ref_y, PAD, x0, y0, 16, 16, mv[0], mv[1])
+            mcost = (_sad(src16, mc)
+                     + self.lm * (_se_len(mv[0] - pred_mv[0])
+                                  + _se_len(mv[1] - pred_mv[1])))
+            use_intra = best_icost < mcost
+        else:
+            use_intra = True
+
+        if use_intra:
+            return self._write_intra_mb(
+                bw, ctx, mbx, mby, src16, srcu, srcv, new_y, new_u, new_v,
+                best_imode, best_ipred, qp, qpc, slice_type, skip_run)
+        return self._write_inter_mb(
+            bw, ctx, mbx, mby, src16, srcu, srcv, new_y, new_u, new_v,
+            ref_y, ref_u, ref_v, mv, pred_mv, mc, qp, qpc, skip_run)
+
+    def _write_intra_mb(self, bw, ctx, mbx, mby, src16, srcu, srcv,
+                        new_y, new_u, new_v, imode, ipred, qp, qpc,
+                        slice_type, skip_run):
+        x0, y0 = mbx * 16, mby * 16
+        cx0, cy0 = mbx * 8, mby * 8
+        dc_scan, aclv, recon_y16, cbp_ac, nnz_l = encode_i16_luma(
+            src16, ipred, qp)
+
+        # chroma mode decision on reconstructed neighbors
+        tu, lu, tlu = _chroma_neighbors(new_u, mbx, mby)
+        tv, lv_, tlv = _chroma_neighbors(new_v, mbx, mby)
+        best = None
+        for cm in chroma_candidate_modes(tu, lu):
+            pu = P.chroma_pred(cm, tu, lu, tlu)
+            pv = P.chroma_pred(cm, tv, lv_, tlv)
+            c = _sad(srcu, pu) + _sad(srcv, pv)
+            if best is None or c < best[0]:
+                best = (c, cm, pu, pv)
+        _, cmode, predu, predv = best
+        udc, uac, urec, u_dc, u_ac, nnz_u = encode_chroma(srcu, predu, qpc,
+                                                          True)
+        vdc, vac, vrec, v_dc, v_ac, nnz_v = encode_chroma(srcv, predv, qpc,
+                                                          True)
+        cbp_chroma = 2 if (u_ac or v_ac) else (1 if (u_dc or v_dc) else 0)
+
+        # mb_type: I_16x16 variant encodes pred mode + cbp
+        mb_type = 1 + imode + 4 * cbp_chroma + 12 * (1 if cbp_ac else 0)
+        if slice_type == SLICE_P:
+            if skip_run >= 0:
+                bw.ue(skip_run)
+            skip_run = 0
+            mb_type += 5
+        bw.ue(mb_type)
+        bw.ue(cmode)
+        bw.se(0)  # mb_qp_delta (fixed-QP)
+
+        self._write_luma_residual_i16(bw, ctx, mbx, mby, dc_scan, aclv,
+                                      cbp_ac, nnz_l)
+        self._write_chroma_residual(bw, ctx, mbx, mby, cbp_chroma,
+                                    udc, uac, nnz_u, vdc, vac, nnz_v)
+
+        new_y[y0:y0 + 16, x0:x0 + 16] = recon_y16
+        new_u[cy0:cy0 + 8, cx0:cx0 + 8] = urec
+        new_v[cy0:cy0 + 8, cx0:cx0 + 8] = vrec
+        ctx.refs[(mbx, mby)] = -1
+        return skip_run
+
+    def _write_inter_mb(self, bw, ctx, mbx, mby, src16, srcu, srcv,
+                        new_y, new_u, new_v, ref_y, ref_u, ref_v,
+                        mv, pred_mv, mc_y, qp, qpc, skip_run):
+        x0, y0 = mbx * 16, mby * 16
+        cx0, cy0 = mbx * 8, mby * 8
+        lv, recon_y16, cbp_luma, nnz_l = encode_inter_luma(src16, mc_y, qp)
+        mcu = P.mc_chroma_block(ref_u, PAD, cx0, cy0, 8, 8, mv[0], mv[1])
+        mcv = P.mc_chroma_block(ref_v, PAD, cx0, cy0, 8, 8, mv[0], mv[1])
+        udc, uac, urec, u_dc, u_ac, nnz_u = encode_chroma(srcu, mcu, qpc,
+                                                          False)
+        vdc, vac, vrec, v_dc, v_ac, nnz_v = encode_chroma(srcv, mcv, qpc,
+                                                          False)
+        cbp_chroma = 2 if (u_ac or v_ac) else (1 if (u_dc or v_dc) else 0)
+        cbp = cbp_luma | (cbp_chroma << 4)
+
+        skip_mv = P.skip_mv(ctx.mvs, ctx.refs, mbx, mby, self.mb_w)
+        if cbp == 0 and tuple(mv) == tuple(skip_mv):
+            # P_Skip: no syntax, recon = MC at skip mv
+            new_y[y0:y0 + 16, x0:x0 + 16] = mc_y
+            new_u[cy0:cy0 + 8, cx0:cx0 + 8] = mcu
+            new_v[cy0:cy0 + 8, cx0:cx0 + 8] = vrec  # vrec==mcv (cbp 0)
+            ctx.mvs[(mbx, mby)] = tuple(mv)
+            ctx.refs[(mbx, mby)] = 0
+            return skip_run + 1
+
+        bw.ue(skip_run)
+        bw.ue(0)  # mb_type P_L0_16x16
+        bw.se(mv[0] - pred_mv[0])
+        bw.se(mv[1] - pred_mv[1])
+        bw.ue(CBP_INTER_INV[cbp])
+        if cbp != 0:
+            bw.se(0)  # mb_qp_delta
+        if cbp_luma:
+            self._write_luma_residual_inter(bw, ctx, mbx, mby, lv, cbp_luma,
+                                            nnz_l)
+        else:
+            ctx.nnz_l[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 0
+        self._write_chroma_residual(bw, ctx, mbx, mby, cbp_chroma,
+                                    udc, uac, nnz_u, vdc, vac, nnz_v)
+
+        new_y[y0:y0 + 16, x0:x0 + 16] = recon_y16
+        new_u[cy0:cy0 + 8, cx0:cx0 + 8] = urec
+        new_v[cy0:cy0 + 8, cx0:cx0 + 8] = vrec
+        ctx.mvs[(mbx, mby)] = tuple(mv)
+        ctx.refs[(mbx, mby)] = 0
+        return 0
+
+    # -- residual writers --------------------------------------------------
+    def _write_luma_residual_i16(self, bw, ctx, mbx, mby, dc_scan, aclv,
+                                 cbp_ac, nnz_l):
+        b0y, b0x = mby * 4, mbx * 4
+        # DC block: nC from block 0's neighbors
+        nc = ctx.nc_luma(b0y, b0x)
+        encode_residual(bw, dc_scan, nc, 16)
+        if cbp_ac:
+            for k in range(16):
+                ridx = _CODED_ORDER[k]
+                by, bx = b0y + ridx // 4, b0x + ridx % 4
+                nc = ctx.nc_luma(by, bx)
+                levels = zigzag(aclv[ridx])[1:]  # AC: 15 coeffs
+                tc = encode_residual(bw, levels, nc, 15)
+                ctx.nnz_l[by, bx] = tc
+        else:
+            ctx.nnz_l[b0y:b0y + 4, b0x:b0x + 4] = 0
+
+    def _write_luma_residual_inter(self, bw, ctx, mbx, mby, lv, cbp_luma,
+                                   nnz_l):
+        b0y, b0x = mby * 4, mbx * 4
+        for k in range(16):
+            ridx = _CODED_ORDER[k]
+            quad = (ridx // 8) * 2 + (ridx % 4) // 2
+            by, bx = b0y + ridx // 4, b0x + ridx % 4
+            if not (cbp_luma >> quad) & 1:
+                ctx.nnz_l[by, bx] = 0
+                continue
+            nc = ctx.nc_luma(by, bx)
+            tc = encode_residual(bw, zigzag(lv[ridx]), nc, 16)
+            ctx.nnz_l[by, bx] = tc
+
+    def _write_chroma_residual(self, bw, ctx, mbx, mby, cbp_chroma,
+                               udc, uac, nnz_u, vdc, vac, nnz_v):
+        b0y, b0x = mby * 2, mbx * 2
+        if cbp_chroma == 0:
+            ctx.nnz_cb[b0y:b0y + 2, b0x:b0x + 2] = 0
+            ctx.nnz_cr[b0y:b0y + 2, b0x:b0x + 2] = 0
+            return
+        encode_residual(bw, udc, -1, 4)
+        encode_residual(bw, vdc, -1, 4)
+        if cbp_chroma == 2:
+            for plane, aclv, nnzmap in ((0, uac, ctx.nnz_cb),
+                                        (1, vac, ctx.nnz_cr)):
+                for k in range(4):
+                    ridx = int(_CODED_ORDER_C[k])
+                    by, bx = b0y + ridx // 2, b0x + ridx % 2
+                    nc = ctx.nc_chroma(nnzmap, by, bx)
+                    tc = encode_residual(bw, zigzag(aclv[ridx])[1:], nc, 15)
+                    nnzmap[by, bx] = tc
+        else:
+            ctx.nnz_cb[b0y:b0y + 2, b0x:b0x + 2] = 0
+            ctx.nnz_cr[b0y:b0y + 2, b0x:b0x + 2] = 0

@@ -198,30 +198,26 @@ def median_mv(a, b, c):
 def predict_mv_16x16(mvs, refs, mb_x, mb_y, mb_w):
     """MV predictor for a P_L0_16x16 partition, single-ref (8.4.1.3).
 
-    mvs: dict (mbx,mby) -> (mvx,mvy); refs: dict (mbx,mby) -> ref (-1 intra/NA)
-    Returns predicted (mvx, mvy).
+    mvs: dict (mbx,mby) -> (mvx,mvy); refs: dict (mbx,mby) -> ref, -1 = intra.
+    An intra neighbour is *available* (ref -1, mv (0,0)) — it participates in
+    the median; only out-of-picture/not-yet-decoded MBs are unavailable.
     """
     def get(x, y):
-        if x < 0 or y < 0 or x >= mb_w:
+        if x < 0 or y < 0 or x >= mb_w or (x, y) not in refs:
             return None  # MB not available
-        if (x, y) not in mvs:
-            return None
-        return (mvs[(x, y)], refs[(x, y)])
+        if refs[(x, y)] != 0:
+            return ((0, 0), -1)  # available but intra
+        return (mvs[(x, y)], 0)
 
     A = get(mb_x - 1, mb_y)
     B = get(mb_x, mb_y - 1)
     C = get(mb_x + 1, mb_y - 1)
     if C is None:
         C = get(mb_x - 1, mb_y - 1)  # substitute D
-    # If B and C are unavailable and A is available → mvA
+    # If B and C (and D) are unavailable and A is available → mvA
     if B is None and C is None:
         return A[0] if A is not None else (0, 0)
-    cand = []
-    for n in (A, B, C):
-        if n is None or n[1] != 0:
-            cand.append(((0, 0), -1))
-        else:
-            cand.append((n[0], n[1]))
+    cand = [(n if n is not None else ((0, 0), -1)) for n in (A, B, C)]
     same = [c for c in cand if c[1] == 0]
     if len(same) == 1:
         return same[0][0]
@@ -229,16 +225,15 @@ def predict_mv_16x16(mvs, refs, mb_x, mb_y, mb_w):
 
 
 def skip_mv(mvs, refs, mb_x, mb_y, mb_w):
-    """P_Skip motion vector (8.4.1.1)."""
+    """P_Skip motion vector (8.4.1.1). Intra neighbours count as available."""
     def avail(x, y):
-        return not (x < 0 or y < 0 or x >= mb_w) and (x, y) in mvs
+        return not (x < 0 or y < 0 or x >= mb_w) and (x, y) in refs
 
-    A_ok = avail(mb_x - 1, mb_y)
-    B_ok = avail(mb_x, mb_y - 1)
-    if not A_ok or not B_ok:
+    A, B = (mb_x - 1, mb_y), (mb_x, mb_y - 1)
+    if not avail(*A) or not avail(*B):
         return (0, 0)
-    if refs[(mb_x - 1, mb_y)] == 0 and mvs[(mb_x - 1, mb_y)] == (0, 0):
+    if refs[A] == 0 and mvs[A] == (0, 0):
         return (0, 0)
-    if refs[(mb_x, mb_y - 1)] == 0 and mvs[(mb_x, mb_y - 1)] == (0, 0):
+    if refs[B] == 0 and mvs[B] == (0, 0):
         return (0, 0)
     return predict_mv_16x16(mvs, refs, mb_x, mb_y, mb_w)

@@ -99,18 +99,23 @@ def dequant4x4(xp, levels, qp: int):
 
 
 def dequant_luma_dc(xp, f, qp: int):
-    """Intra16x16 luma DC dequant (8.5.10). f: inverse-Hadamard output."""
-    v00 = int(V4x4[qp % 6][0, 0])
+    """Intra16x16 luma DC dequant (8.5.10). f: inverse-Hadamard output.
+
+    LevelScale4x4 = weightScale * normAdjust = 16 * V for the flat default
+    scaling list; the 16 does NOT cancel here (unlike the AC path where the
+    spec's >>4 absorbs it). Validated against FFmpeg decode of our streams.
+    """
+    ls = 16 * int(V4x4[qp % 6][0, 0])
     if qp >= 36:
-        return (f * v00) << (qp // 6 - 6)
+        return (f * ls) << (qp // 6 - 6)
     rnd = 1 << (5 - qp // 6)
-    return (f * v00 + rnd) >> (6 - qp // 6)
+    return (f * ls + rnd) >> (6 - qp // 6)
 
 
 def dequant_chroma_dc(xp, f, qp: int):
-    """Chroma DC dequant (8.5.11 for 4:2:0): ((f * V00) << (qp//6)) >> 5."""
-    v00 = int(V4x4[qp % 6][0, 0])
-    return ((f * v00) << (qp // 6)) >> 5
+    """Chroma DC dequant (8.5.11, 4:2:0): ((f * 16*V00) << (qp//6)) >> 5."""
+    ls = 16 * int(V4x4[qp % 6][0, 0])
+    return ((f * ls) << (qp // 6)) >> 5
 
 
 def idct4x4(xp, d):

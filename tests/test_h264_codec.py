@@ -1,0 +1,121 @@
+"""End-to-end H.264 encoder/decoder tests.
+
+Two oracles (SURVEY.md §4 'golden-path bit-exactness'):
+  1. our decoder must reproduce the encoder's reconstruction bit-exactly;
+  2. FFmpeg (via cv2) must decode our streams to the same pictures
+     (compared in BGR after identical colorspace conversion, tol ≤ 4).
+"""
+import numpy as np
+import pytest
+
+from handbrake_tpu.codecs.h264.decoder import H264Decoder
+from handbrake_tpu.codecs.h264.encoder import EncoderConfig, H264Encoder
+
+cv2 = pytest.importorskip("cv2")
+
+
+def synth_clip(W, H, n, seed=0, motion=4):
+    """Deterministic moving-crop clip (smooth + structure)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(30, 220, (H + 64, W + 64)).astype(np.uint8)
+    base = cv2.GaussianBlur(base, (0, 0), 3)
+    cb = rng.integers(100, 156, ((H + 64) // 2, (W + 64) // 2)).astype(np.uint8)
+    cr = rng.integers(100, 156, ((H + 64) // 2, (W + 64) // 2)).astype(np.uint8)
+    for t in range(n):
+        ox, oy = 16 + t * motion, 16 + (t * motion) // 2
+        yield (base[oy:oy + H, ox:ox + W],
+               cb[oy // 2:oy // 2 + H // 2, ox // 2:ox // 2 + W // 2],
+               cr[oy // 2:oy // 2 + H // 2, ox // 2:ox // 2 + W // 2])
+
+
+def encode_clip(W, H, n, qp=28, gop=4, seed=0, motion=4):
+    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=qp, gop=gop,
+                                    search_range=12))
+    stream = b""
+    recons = []
+    for y, u, v in synth_clip(W, H, n, seed, motion):
+        stream += enc.encode_frame(y, u, v)
+        recons.append((enc.recon_y.copy(), enc.recon_u.copy(),
+                       enc.recon_v.copy()))
+    return stream, recons
+
+
+def ffmpeg_decode_bgr(stream, tmp_path, n):
+    p = str(tmp_path / "t.h264")
+    open(p, "wb").write(stream)
+    cap = cv2.VideoCapture(p)
+    out = []
+    for _ in range(n):
+        ok, bgr = cap.read()
+        assert ok, "ffmpeg failed to decode frame"
+        out.append(bgr)
+    return out
+
+
+def recon_to_bgr(ry, ru, rv, Hc, Wc):
+    i420 = np.vstack([ry[:Hc, :Wc].astype(np.uint8),
+                      ru[:Hc // 2, :Wc // 2].astype(np.uint8).reshape(Hc // 4, Wc),
+                      rv[:Hc // 2, :Wc // 2].astype(np.uint8).reshape(Hc // 4, Wc)])
+    return cv2.cvtColor(i420, cv2.COLOR_YUV2BGR_I420)
+
+
+def test_own_decoder_bit_exact():
+    stream, recons = encode_clip(64, 48, 6, qp=28)
+    frames = H264Decoder().decode(stream)
+    assert len(frames) == 6
+    for (fy, fu, fv), (ry, ru, rv) in zip(frames, recons):
+        assert np.array_equal(fy, ry.astype(np.uint8))
+        assert np.array_equal(fu, ru.astype(np.uint8))
+        assert np.array_equal(fv, rv.astype(np.uint8))
+
+
+def test_ffmpeg_conformance_ip(tmp_path):
+    W, H = 64, 48
+    stream, recons = encode_clip(W, H, 6, qp=28, gop=3)
+    bgrs = ffmpeg_decode_bgr(stream, tmp_path, 6)
+    for bgr, (ry, ru, rv) in zip(bgrs, recons):
+        ours = recon_to_bgr(ry, ru, rv, *bgr.shape[:2][::-1][::-1])
+        d = np.abs(ours.astype(int) - bgr.astype(int)).max()
+        assert d <= 4, f"ffmpeg mismatch {d}"
+
+
+@pytest.mark.parametrize("qp", [0, 12, 40, 51])
+def test_ffmpeg_conformance_qp(tmp_path, qp):
+    W, H = 48, 32
+    stream, recons = encode_clip(W, H, 3, qp=qp, gop=3, seed=qp)
+    bgrs = ffmpeg_decode_bgr(stream, tmp_path, 3)
+    for bgr, (ry, ru, rv) in zip(bgrs, recons):
+        Hc, Wc = bgr.shape[:2]
+        ours = recon_to_bgr(ry, ru, rv, Hc, Wc)
+        assert np.abs(ours.astype(int) - bgr.astype(int)).max() <= 4
+
+
+def test_ffmpeg_conformance_cropped(tmp_path):
+    """Dimensions not multiples of 16 exercise SPS cropping."""
+    W, H = 72, 52
+    stream, recons = encode_clip(W, H, 4, qp=30)
+    bgrs = ffmpeg_decode_bgr(stream, tmp_path, 4)
+    assert bgrs[0].shape[:2] == (H, W)
+    for bgr, (ry, ru, rv) in zip(bgrs, recons):
+        ours = recon_to_bgr(ry, ru, rv, H, W)
+        assert np.abs(ours.astype(int) - bgr.astype(int)).max() <= 4
+
+
+def test_quality_sane():
+    """Reconstruction PSNR must be reasonable for midrange qp."""
+    W, H = 64, 48
+    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=26, gop=4))
+    psnrs = []
+    for y, u, v in synth_clip(W, H, 5):
+        enc.encode_frame(y, u, v)
+        mse = np.mean((enc.recon_y[:H, :W].astype(float) - y.astype(float)) ** 2)
+        psnrs.append(10 * np.log10(255 ** 2 / max(mse, 1e-9)))
+    assert min(psnrs) > 30, psnrs
+
+
+def test_bitrate_monotonic_in_qp():
+    sizes = {}
+    for qp in (16, 28, 40):
+        stream, _ = encode_clip(48, 32, 4, qp=qp)
+        sizes[qp] = len(stream)
+    assert sizes[16] > sizes[28] > sizes[40], sizes
