@@ -56,6 +56,9 @@ class EncoderConfig:
     level_idc: int = 40
     # mode-decision lambda (x264-style); None → derived from qp
     lm: float | None = None
+    # "host": pure-numpy reference path; "device": batched jax analysis for
+    # P frames (encoder_tpu.py) with this host walker doing entropy coding
+    backend: str = "host"
 
 
 class MBCtx:
@@ -301,6 +304,10 @@ class H264Encoder:
         self.recon_u = None
         self.recon_v = None
         self.lm = cfg.lm if cfg.lm is not None else 0.85 * 2 ** ((cfg.qp - 12) / 3.0)
+        self._analyzer = None
+        if cfg.backend == "device":
+            from .encoder_tpu import build_p_analyzer
+            self._analyzer = build_p_analyzer(self.mb_w, self.mb_h)
 
     # -- frame-level -------------------------------------------------------
     def headers(self) -> bytes:
@@ -321,9 +328,17 @@ class H264Encoder:
         if idr:
             out += self.headers()
             self.frame_num = 0
-        payload = self._encode_slice(
-            self._pad_to_mb(y, 16), self._pad_to_mb(u, 8),
-            self._pad_to_mb(v, 8), idr, analysis)
+        yp = self._pad_to_mb(y, 16)
+        up = self._pad_to_mb(u, 8)
+        vp = self._pad_to_mb(v, 8)
+        if not idr and self._analyzer is not None:
+            qpc = T.chroma_qp(self.cfg.qp, self.cfg.chroma_qp_offset)
+            dev = self._analyzer(yp, up, vp, self.recon_y, self.recon_u,
+                                 self.recon_v, self.cfg.qp, qpc)
+            payload = self._encode_slice_device(
+                yp, up, vp, {k: np.asarray(a) for k, a in dev.items()})
+        else:
+            payload = self._encode_slice(yp, up, vp, idr, analysis)
         out += payload
         self.frame_num = (self.frame_num + 1) % (1 << self.sps.log2_max_frame_num)
         self.frame_idx += 1
@@ -505,6 +520,107 @@ class H264Encoder:
         ctx.mvs[(mbx, mby)] = tuple(mv)
         ctx.refs[(mbx, mby)] = 0
         return 0
+
+    # -- device-assisted P slice ------------------------------------------
+    def _encode_slice_device(self, y, u, v, dev) -> bytes:
+        """Serial syntax walk over batched device analysis (encoder_tpu.py).
+
+        Device supplies per-MB mv/levels/recon for the inter hypothesis; this
+        walk makes the exact skip decision, the (rare) intra fallback, and
+        does the entropy coding — identical output semantics to the host
+        path, so FFmpeg-conformance carries over.
+        """
+        qp = self.cfg.qp
+        qpc = T.chroma_qp(qp, self.cfg.chroma_qp_offset)
+        hdr = SliceHeader(slice_type=SLICE_P, idr=False,
+                          frame_num=self.frame_num, qp=qp,
+                          disable_deblocking=1)
+        bw = hdr.write(self.sps, self.pps)
+        ctx = MBCtx(self.mb_w, self.mb_h)
+        new_y = np.zeros_like(y)
+        new_u = np.zeros_like(u)
+        new_v = np.zeros_like(v)
+        ref_y = P.pad_plane(self.recon_y, PAD)
+        ref_u = P.pad_plane(self.recon_u, PAD)
+        ref_v = P.pad_plane(self.recon_v, PAD)
+        # intra fallback when inter SAD is poor (device gives the SAD)
+        intra_thresh = 20.0 * 256
+
+        skip_run = 0
+        for mby in range(self.mb_h):
+            for mbx in range(self.mb_w):
+                i = mby * self.mb_w + mbx
+                x0, y0 = mbx * 16, mby * 16
+                cx0, cy0 = mbx * 8, mby * 8
+                src16 = y[y0:y0 + 16, x0:x0 + 16]
+                mv = (int(dev["mv"][i, 0]), int(dev["mv"][i, 1]))
+                u_dc = any(int(x) != 0 for x in dev["udc"][i])
+                v_dc = any(int(x) != 0 for x in dev["vdc"][i])
+                u_ac = int(dev["unnz"][i].sum()) > 0
+                v_ac = int(dev["vnnz"][i].sum()) > 0
+                cbp_chroma = 2 if (u_ac or v_ac) else (1 if (u_dc or v_dc)
+                                                       else 0)
+                cbp_luma = int(dev["cbp_luma"][i])
+                cbp = cbp_luma | (cbp_chroma << 4)
+
+                if float(dev["sad"][i]) > intra_thresh:
+                    # host intra fallback (uses current recon neighbours)
+                    top, left, topleft = _i16_neighbors(new_y, mbx, mby)
+                    best = None
+                    for m in i16_candidate_modes(top, left, topleft):
+                        pred = P.intra16_pred(m, top, left, topleft)
+                        c = _sad(src16, pred)
+                        if best is None or c < best[0]:
+                            best = (c, m, pred)
+                    if best[0] < float(dev["sad"][i]):
+                        skip_run = self._write_intra_mb(
+                            bw, ctx, mbx, mby, src16,
+                            u[cy0:cy0 + 8, cx0:cx0 + 8],
+                            v[cy0:cy0 + 8, cx0:cx0 + 8],
+                            new_y, new_u, new_v, best[1], best[2], qp, qpc,
+                            SLICE_P, skip_run)
+                        continue
+
+                skip_mv_ = P.skip_mv(ctx.mvs, ctx.refs, mbx, mby, self.mb_w)
+                if cbp == 0 and mv == tuple(skip_mv_):
+                    new_y[y0:y0 + 16, x0:x0 + 16] = dev["recon_y"][i]
+                    new_u[cy0:cy0 + 8, cx0:cx0 + 8] = dev["urec"][i]
+                    new_v[cy0:cy0 + 8, cx0:cx0 + 8] = dev["vrec"][i]
+                    ctx.mvs[(mbx, mby)] = mv
+                    ctx.refs[(mbx, mby)] = 0
+                    skip_run += 1
+                    continue
+
+                pred_mv = P.predict_mv_16x16(ctx.mvs, ctx.refs, mbx, mby,
+                                             self.mb_w)
+                bw.ue(skip_run)
+                skip_run = 0
+                bw.ue(0)  # P_L0_16x16
+                bw.se(mv[0] - pred_mv[0])
+                bw.se(mv[1] - pred_mv[1])
+                bw.ue(CBP_INTER_INV[cbp])
+                if cbp != 0:
+                    bw.se(0)
+                if cbp_luma:
+                    self._write_luma_residual_inter(
+                        bw, ctx, mbx, mby, dev["luma_lv"][i], cbp_luma, None)
+                else:
+                    ctx.nnz_l[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 0
+                self._write_chroma_residual(
+                    bw, ctx, mbx, mby, cbp_chroma,
+                    [int(x) for x in dev["udc"][i]], dev["uac"][i], None,
+                    [int(x) for x in dev["vdc"][i]], dev["vac"][i], None)
+                new_y[y0:y0 + 16, x0:x0 + 16] = dev["recon_y"][i]
+                new_u[cy0:cy0 + 8, cx0:cx0 + 8] = dev["urec"][i]
+                new_v[cy0:cy0 + 8, cx0:cx0 + 8] = dev["vrec"][i]
+                ctx.mvs[(mbx, mby)] = mv
+                ctx.refs[(mbx, mby)] = 0
+        if skip_run > 0:
+            bw.ue(skip_run)
+        bw.rbsp_trailing()
+        self.recon_y, self.recon_u, self.recon_v = new_y, new_u, new_v
+        from .bits import nal_unit
+        return nal_unit(3, NAL_SLICE, bw.get_rbsp())
 
     # -- residual writers --------------------------------------------------
     def _write_luma_residual_i16(self, bw, ctx, mbx, mby, dc_scan, aclv,

@@ -1,0 +1,400 @@
+"""TPU device path for H.264 P-frame analysis.
+
+Architecture (chosen after profiling on TPU v5e):
+  * XLA's generic gather is ~12 ns/element on TPU — unusable for per-MB
+    motion windows (28 gathers ≈ 700 ms/frame at 1080p). A tiny Pallas
+    kernel replaces it: per MB-row it DMAs a reference strip HBM→VMEM and
+    slices per-MB search windows out of VMEM (dynamic VMEM slicing is what
+    the hardware is actually good at).
+  * Everything downstream operates on the batched (nMB, …) window arrays
+    with *static* slices, one-hot selects, and einsum transforms — all
+    VPU/MXU-friendly, no gathers.
+  * Sub-pel interpolation (6-tap 8.4.2.2) is recomputed per-window on the
+    VPU instead of materialising 16 phase planes — arithmetic is identical
+    to predict.mc_luma_block (asserted in tests).
+  * qp is traced: rate control never triggers recompiles.
+
+Host entropy coding consumes the resulting arrays (encoder.py
+_encode_slice_device).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .tables import MF4x4, V4x4, QBITS_BASE
+
+PAD = 32          # luma ref padding (matches encoder.PAD)
+LOWRES_R = 4      # coarse search radius on 4x-decimated planes (= ±16 px)
+REFINE_R = 3      # full-pel refine radius
+WIN = 32          # luma window size (16 + 2*8 margin)
+CWIN = 16         # chroma window size (8 + 1 bilinear + 5 offset range + pad)
+MV_CLAMP = 22     # |full-pel mv| bound; keeps every access inside the pads
+
+
+# ---------------------------------------------------------------------------
+# traced-qp quantization (same integer arithmetic as transform.py)
+# ---------------------------------------------------------------------------
+_MF = jnp.asarray(MF4x4.astype(np.int32))
+_V = jnp.asarray(V4x4.astype(np.int32))
+
+
+def _quant4x4_t(w, qp, intra: bool):
+    qbits = QBITS_BASE + qp // 6
+    mf = _MF[qp % 6]
+    f = jnp.where(intra, (1 << qbits) // 3, (1 << qbits) // 6)
+    aw = jnp.abs(w)
+    lv = jnp.right_shift(aw * mf + f, qbits)
+    return jnp.where(w < 0, -lv, lv).astype(jnp.int32)
+
+
+def _quant_dc_t(w, qp, intra: bool):
+    qbits = QBITS_BASE + qp // 6
+    mf00 = _MF[qp % 6, 0, 0]
+    f = jnp.where(intra, (1 << qbits) // 3, (1 << qbits) // 6)
+    aw = jnp.abs(w)
+    lv = jnp.right_shift(aw * mf00 + 2 * f, qbits + 1)
+    return jnp.where(w < 0, -lv, lv).astype(jnp.int32)
+
+
+def _dequant4x4_t(lv, qp):
+    return jnp.left_shift(lv * _V[qp % 6], qp // 6)
+
+
+def _dequant_chroma_dc_t(f, qp):
+    ls = 16 * _V[qp % 6, 0, 0]
+    return jnp.right_shift(jnp.left_shift(f * ls, qp // 6), 5)
+
+
+_CF = jnp.asarray(np.array([[1, 1, 1, 1], [2, 1, -1, -2],
+                            [1, -1, -1, 1], [1, -2, 2, -1]], np.int32))
+_H2 = jnp.asarray(np.array([[1, 1], [1, -1]], np.int32))
+
+
+def _fdct(d):
+    return jnp.einsum("ij,...jk,lk->...il", _CF, d, _CF)
+
+
+def _had2(d):
+    return jnp.einsum("ij,...jk,lk->...il", _H2, d, _H2)
+
+
+def _idct(d):
+    d0, d1, d2, d3 = d[..., :, 0], d[..., :, 1], d[..., :, 2], d[..., :, 3]
+    e0, e1 = d0 + d2, d0 - d2
+    e2, e3 = (d1 >> 1) - d3, d1 + (d3 >> 1)
+    f = jnp.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-1)
+    g0, g1 = f[..., 0, :] + f[..., 2, :], f[..., 0, :] - f[..., 2, :]
+    g2 = (f[..., 1, :] >> 1) - f[..., 3, :]
+    g3 = f[..., 1, :] + (f[..., 3, :] >> 1)
+    h = jnp.stack([g0 + g3, g1 + g2, g1 - g2, g0 - g3], axis=-2)
+    return (h + 32) >> 6
+
+
+def _to_blocks4(p):
+    H, W = p.shape[-2], p.shape[-1]
+    b = p.reshape(*p.shape[:-2], H // 4, 4, W // 4, 4)
+    b = jnp.swapaxes(b, -3, -2)
+    return b.reshape(*p.shape[:-2], (H // 4) * (W // 4), 4, 4)
+
+
+def _from_blocks4(b, H, W):
+    lead = b.shape[:-3]
+    x = b.reshape(*lead, H // 4, W // 4, 4, 4)
+    x = jnp.swapaxes(x, -3, -2)
+    return x.reshape(*lead, H, W)
+
+
+def _lanes(n, m=128):
+    return ((n + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Window fetch via one-hot selection matmuls (the TPU gather workaround:
+# XLA's gather is ~12 ns/element on TPU, but an MXU matmul with a one-hot
+# selector extracts per-MB windows at full throughput; bf16 one-hots are
+# exact for 0..255 pixel values).
+# ---------------------------------------------------------------------------
+def _onehot_select(sub, roff, coff, out_h, out_w):
+    """sub: (b, n, H, W) source subwindows; roff/coff: (b, n) dynamic
+    origins. Returns (b, n, out_h, out_w) = sub[:, :, roff:roff+out_h,
+    coff:coff+out_w] per (b, n), via R @ sub @ C on the MXU."""
+    b, n, Hs, Ws = sub.shape
+    ar_h = jnp.arange(Hs)
+    ar_w = jnp.arange(Ws)
+    R = (roff[..., None, None] + jnp.arange(out_h)[:, None]
+         == ar_h[None, None, None, :]).astype(jnp.bfloat16)   # (b,n,oh,Hs)
+    C = (coff[..., None, None] + jnp.arange(out_w)[None, :]
+         == ar_w[None, None, :, None]).astype(jnp.bfloat16)   # (b,n,Ws,ow)
+    subf = sub.astype(jnp.bfloat16)
+    t = jnp.einsum("bnrh,bnhw->bnrw", R, subf,
+                   preferred_element_type=jnp.float32)
+    out = jnp.einsum("bnrw,bnwc->bnrc", t.astype(jnp.bfloat16), C,
+                     preferred_element_type=jnp.float32)
+    return out.astype(jnp.int32)
+
+
+def _fetch_windows(refp, rup, rvp, mv_cy, mv_cx, mb_w, mb_h):
+    """refp: (H+2*PAD+16, *) luma padded; rup/rvp: (H/2+48, *) chroma padded.
+    mv_*: (nMB,) clamped full-pel coarse mvs.
+    Returns wy (nMB,32,32), wu/wv (nMB,16,16) int32 with origins
+    luma (y0+mv+PAD-8, x0+mv+PAD-8), chroma (cy0+((4mv-16)>>3)+16, …)."""
+    my = mv_cy.reshape(mb_h, mb_w)
+    mx = mv_cx.reshape(mb_h, mb_w)
+    # luma: strips (mb_h, 80, W+2PAD) rows [16i, 16i+80); per-MB col slice
+    # [16j, 16j+80) → origin offsets (my+24, mx+24) ∈ [2, 46]
+    strips = jnp.stack([refp[16 * i:16 * i + 80] for i in range(mb_h)])
+    sub = jnp.stack([strips[:, :, 16 * j:16 * j + 80] for j in range(mb_w)],
+                    axis=1)                                   # (b,n,80,80)
+    wy = _onehot_select(sub, my + (PAD - 8), mx + (PAD - 8), WIN, WIN)
+    # chroma: strips rows [8i, 8i+48), cols [8j, 8j+48);
+    # origin local = ((4*mv-16)>>3) + 16 - 0 ∈ [4, 23]
+    croff = ((4 * my - 16) >> 3) + 16
+    ccoff = ((4 * mx - 16) >> 3) + 16
+    cu = jnp.stack([rup[8 * i:8 * i + 48] for i in range(mb_h)])
+    cv = jnp.stack([rvp[8 * i:8 * i + 48] for i in range(mb_h)])
+    subu = jnp.stack([cu[:, :, 8 * j:8 * j + 48] for j in range(mb_w)],
+                     axis=1)
+    subv = jnp.stack([cv[:, :, 8 * j:8 * j + 48] for j in range(mb_w)],
+                     axis=1)
+    wu = _onehot_select(subu, croff, ccoff, CWIN, CWIN)
+    wv = _onehot_select(subv, croff, ccoff, CWIN, CWIN)
+    n_mb = mb_w * mb_h
+    return (wy.reshape(n_mb, WIN, WIN), wu.reshape(n_mb, CWIN, CWIN),
+            wv.reshape(n_mb, CWIN, CWIN))
+
+
+# ---------------------------------------------------------------------------
+# sub-pel interpolation on batched windows (8.4.2.2 arithmetic)
+# ---------------------------------------------------------------------------
+def _tap6_h_w(a):
+    """(…, H, W) → (…, H, W-5) raw horizontal 6-tap; out[..,c] is the
+    half-sample between source cols c+2 and c+3."""
+    return (a[..., 0:-5] - 5 * a[..., 1:-4] + 20 * a[..., 2:-3]
+            + 20 * a[..., 3:-2] - 5 * a[..., 4:-1] + a[..., 5:])
+
+
+def _tap6_v_w(a):
+    return (a[..., 0:-5, :] - 5 * a[..., 1:-4, :] + 20 * a[..., 2:-3, :]
+            + 20 * a[..., 3:-2, :] - 5 * a[..., 4:-1, :] + a[..., 5:, :])
+
+
+def _subpel_preds(A):
+    """A: (nMB, 24, 24) windows, A[:,4,4] = best-full-pel block origin.
+
+    Returns dict phase (xf,yf) → (nMB,18,18) arrays, where element [r,c] is
+    the sample at quarter position (c-1 + xf/4, r-1 + yf/4) relative to the
+    block origin (so candidate (dqx,dqy)∈[-2,2] picks a 16x16 slice at
+    offset (1 + (dqy>>2) + …)). Only the 16 spec phases, exact arithmetic.
+    """
+    A = A.astype(jnp.int32)
+    # raw intermediates
+    b1 = _tap6_h_w(A)                 # (n,24,19): b1[r,c] ~ (c+2)+0.5, row r
+    h1 = _tap6_v_w(A)                 # (n,19,24)
+    j1 = _tap6_v_w(b1)                # (n,19,19) both-half raw (scale 1024)
+    b = jnp.clip((b1 + 16) >> 5, 0, 255)
+    h = jnp.clip((h1 + 16) >> 5, 0, 255)
+    j = jnp.clip((j1 + 512) >> 10, 0, 255)
+
+    # 18x18 base grids, element [r,c] ↔ integer sample (row 3+r-… )
+    # G grid: sample at (col c+3, row r+3) relative to window → block coords
+    # (c-1, r-1).  b grid: half sample right of G[r, c] → b1 col (c+3)-2 = c+1.
+    G = A[:, 3:21, 3:21]
+    B = b[:, 3:21, 1:19]              # b at (c-1+0.5, r-1)
+    Hh = h[:, 1:19, 3:21]             # h at (c-1, r-1+0.5)
+    J = j[:, 1:19, 1:19]              # j at (c-1+0.5, r-1+0.5)
+
+    def sx(p):
+        return jnp.pad(p[:, :, 1:], ((0, 0), (0, 0), (0, 1)))
+
+    def sy(p):
+        return jnp.pad(p[:, 1:, :], ((0, 0), (0, 1), (0, 0)))
+
+    def avg(p, q):
+        return (p + q + 1) >> 1
+
+    ph = {}
+    ph[(0, 0)] = G
+    ph[(1, 0)] = avg(G, B)
+    ph[(2, 0)] = B
+    ph[(3, 0)] = avg(B, sx(G))
+    ph[(0, 1)] = avg(G, Hh)
+    ph[(1, 1)] = avg(B, Hh)
+    ph[(2, 1)] = avg(B, J)
+    ph[(3, 1)] = avg(B, sx(Hh))
+    ph[(0, 2)] = Hh
+    ph[(1, 2)] = avg(Hh, J)
+    ph[(2, 2)] = J
+    ph[(3, 2)] = avg(J, sx(Hh))
+    ph[(0, 3)] = avg(Hh, sy(G))
+    ph[(1, 3)] = avg(Hh, sy(B))
+    ph[(2, 3)] = avg(J, sy(B))
+    ph[(3, 3)] = avg(sx(Hh), sy(B))
+    return ph
+
+
+# ---------------------------------------------------------------------------
+# the analyzer
+# ---------------------------------------------------------------------------
+def build_p_analyzer(mb_w: int, mb_h: int, interpret: bool | None = None):
+    """Returns jitted analyze(src_y,u,v, ref_y,u,v, qp, qpc) → dict.
+
+    interpret: run the Pallas fetch in interpreter mode (auto: on non-TPU
+    backends).
+    """
+    del interpret  # pure-XLA path runs identically on all backends
+    H, W = mb_h * 16, mb_w * 16
+    n_mb = mb_w * mb_h
+    Wl = _lanes(W + 2 * PAD)
+    Wc = _lanes(W // 2 + 48)
+    r = REFINE_R
+    side = 2 * r + 1
+
+    def analyze(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc):
+        src_y = src_y.astype(jnp.int32)
+        src_mb = (src_y.reshape(mb_h, 16, mb_w, 16)
+                  .transpose(0, 2, 1, 3).reshape(n_mb, 16, 16))
+
+        # --- coarse ME on 4x-decimated planes (static shifts, no gathers)
+        s4 = src_y.reshape(H // 4, 4, W // 4, 4).sum((1, 3)) >> 4
+        r4 = ref_y.astype(jnp.int32).reshape(H // 4, 4, W // 4, 4
+                                             ).sum((1, 3)) >> 4
+        r4p = jnp.pad(r4, LOWRES_R, mode="edge")
+        costs = []
+        for dy in range(-LOWRES_R, LOWRES_R + 1):
+            for dx in range(-LOWRES_R, LOWRES_R + 1):
+                sh = r4p[LOWRES_R + dy:LOWRES_R + dy + H // 4,
+                         LOWRES_R + dx:LOWRES_R + dx + W // 4]
+                blk = jnp.abs(s4 - sh).reshape(mb_h, 4, mb_w, 4).sum((1, 3))
+                costs.append(blk + 2 * (abs(dx) + abs(dy)))
+        best = jnp.argmin(jnp.stack(costs), axis=0).reshape(-1)
+        mv_cy = jnp.clip((best // (2 * LOWRES_R + 1) - LOWRES_R) * 4,
+                         -(MV_CLAMP - r), MV_CLAMP - r).astype(jnp.int32)
+        mv_cx = jnp.clip((best % (2 * LOWRES_R + 1) - LOWRES_R) * 4,
+                         -(MV_CLAMP - r), MV_CLAMP - r).astype(jnp.int32)
+
+        # --- Pallas window fetch ---
+        refp = jnp.pad(ref_y.astype(jnp.int32),
+                       ((PAD, PAD + 16), (PAD, PAD)), mode="edge")
+        refp = jnp.pad(refp, ((0, 0), (0, Wl - refp.shape[1])))
+        rup = jnp.pad(ref_u.astype(jnp.int32), ((16, 32), (16, 16)),
+                      mode="edge")
+        rup = jnp.pad(rup, ((0, 0), (0, Wc - rup.shape[1])))
+        rvp = jnp.pad(ref_v.astype(jnp.int32), ((16, 32), (16, 16)),
+                      mode="edge")
+        rvp = jnp.pad(rvp, ((0, 0), (0, Wc - rvp.shape[1])))
+        wy, wu, wv = _fetch_windows(refp, rup, rvp, mv_cy, mv_cx, mb_w, mb_h)
+
+        # --- full-pel refine ±r (static slices of the windows) ---
+        cc = []
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                blk = wy[:, 8 + dy:24 + dy, 8 + dx:24 + dx]
+                sad = jnp.abs(blk - src_mb).sum((1, 2))
+                cc.append(sad + 3 * (abs(dx) + abs(dy)))
+        cc = jnp.stack(cc, 1)                       # (nMB, 49)
+        fbi = jnp.argmin(cc, axis=1)
+        fdy = (fbi // side - r).astype(jnp.int32)
+        fdx = (fbi % side - r).astype(jnp.int32)
+
+        # aligned 24x24 window around the best full-pel position
+        # (one-hot select over the 49 static slices)
+        A = jnp.zeros((n_mb, 24, 24), jnp.int32)
+        for k in range(side * side):
+            dy, dx = k // side - r, k % side - r
+            sl = wy[:, 4 + dy:28 + dy, 4 + dx:28 + dx]
+            A = A + jnp.where((fbi == k)[:, None, None], sl, 0)
+
+        # --- quarter-pel refine: 25 candidates on recomputed sub-pel grids
+        phg = _subpel_preds(A)
+        qcands = [(dqx, dqy) for dqy in range(-2, 3) for dqx in range(-2, 3)]
+        qsads = []
+        preds = []
+        for dqx, dqy in qcands:
+            p = phg[(dqx & 3, dqy & 3)]
+            oy, ox = 1 + (dqy >> 2), 1 + (dqx >> 2)
+            pred = p[:, oy:oy + 16, ox:ox + 16]
+            preds.append(pred)
+            qsads.append(jnp.abs(pred - src_mb).sum((1, 2)))
+        qsads = jnp.stack(qsads, 1)                 # (nMB, 25)
+        qbi = jnp.argmin(qsads, axis=1)
+        dq = np.array(qcands, np.int32)
+        mvx = (mv_cx + fdx) * 4 + jnp.asarray(dq[:, 0])[qbi]
+        mvy = (mv_cy + fdy) * 4 + jnp.asarray(dq[:, 1])[qbi]
+        sad_best = jnp.min(qsads, axis=1)
+        pred_y = jnp.zeros((n_mb, 16, 16), jnp.int32)
+        for k in range(25):
+            pred_y = pred_y + jnp.where((qbi == k)[:, None, None],
+                                        preds[k], 0)
+
+        # --- luma residual transform/quant/recon ---
+        res = src_mb - pred_y
+        w = _fdct(_to_blocks4(res))
+        lv = _quant4x4_t(w, qp, intra=False)
+        nnz = (lv.reshape(-1, 16, 16) != 0).sum(-1)
+        bidx = np.arange(16)
+        quad = jnp.asarray((bidx // 8) * 2 + (bidx % 4) // 2)
+        qmask = jnp.stack([(nnz * (quad == q)).sum(-1) > 0 for q in range(4)],
+                          1)
+        cbp_luma = (qmask.astype(jnp.int32)
+                    << jnp.arange(4, dtype=jnp.int32)).sum(-1)
+        keep = qmask[:, quad]
+        lv = jnp.where(keep[..., None, None], lv, 0)
+        nnz = jnp.where(keep, nnz, 0)
+        rec = _idct(_dequant4x4_t(lv, qp))
+        recon_y = jnp.clip(pred_y + _from_blocks4(rec, 16, 16), 0, 255)
+
+        # --- chroma: select 9x9 window by final-mv offset, bilinear MC ---
+        def chroma(srcp, wc):
+            base4 = jnp.stack([mv_cx * 4 - 16, mv_cy * 4 - 16])
+            offx = (mvx >> 3) - (base4[0] >> 3)     # ∈ [0, 4]
+            offy = (mvy >> 3) - (base4[1] >> 3)
+            w9 = jnp.zeros((n_mb, 9, 9), jnp.int32)
+            for oy in range(5):
+                for ox in range(5):
+                    m = (offy == oy) & (offx == ox)
+                    w9 = w9 + jnp.where(m[:, None, None],
+                                        wc[:, oy:oy + 9, ox:ox + 9], 0)
+            xf = (mvx & 7)[:, None, None]
+            yf = (mvy & 7)[:, None, None]
+            Aq = w9[:, 0:8, 0:8]
+            Bq = w9[:, 0:8, 1:9]
+            Cq = w9[:, 1:9, 0:8]
+            Dq = w9[:, 1:9, 1:9]
+            pred = ((8 - xf) * (8 - yf) * Aq + xf * (8 - yf) * Bq
+                    + (8 - xf) * yf * Cq + xf * yf * Dq + 32) >> 6
+            smb = (srcp.astype(jnp.int32)
+                   .reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3)
+                   .reshape(n_mb, 8, 8))
+            cw = _fdct(_to_blocks4(smb - pred))
+            dc = cw[:, :, 0, 0].reshape(-1, 2, 2)
+            dclv = _quant_dc_t(_had2(dc), qpc, intra=False)
+            ac = cw.at[:, :, 0, 0].set(0)
+            aclv = _quant4x4_t(ac, qpc, intra=False)
+            dcq = _dequant_chroma_dc_t(_had2(dclv), qpc)
+            dqc = _dequant4x4_t(aclv, qpc)
+            dqc = dqc.at[:, :, 0, 0].set(dcq.reshape(-1, 4))
+            rc = _idct(dqc)
+            reconc = jnp.clip(pred + _from_blocks4(rc, 8, 8), 0, 255)
+            cnnz = (aclv.reshape(-1, 4, 16) != 0).sum(-1)
+            return dclv.reshape(-1, 4), aclv, reconc, cnnz
+
+        udc, uac, urec, unnz = chroma(src_u, wu)
+        vdc, vac, vrec, vnnz = chroma(src_v, wv)
+
+        return {
+            "mv": jnp.stack([mvx, mvy], 1),
+            "sad": sad_best,
+            "luma_lv": lv,
+            "luma_nnz": nnz,
+            "cbp_luma": cbp_luma,
+            "recon_y": recon_y,
+            "udc": udc, "uac": uac, "urec": urec, "unnz": unnz,
+            "vdc": vdc, "vac": vac, "vrec": vrec, "vnnz": vnnz,
+        }
+
+    return jax.jit(analyze)
