@@ -241,7 +241,12 @@ def _subpel_preds(A):
 # the analyzer
 # ---------------------------------------------------------------------------
 def build_p_analyzer(mb_w: int, mb_h: int, interpret: bool | None = None):
-    """Returns jitted analyze(src_y,u,v, ref_y,u,v, qp, qpc) → dict.
+    """Returns jitted analyze(src_y,u,v, ref_y,u,v, qp, qpc) → dict."""
+    return jax.jit(build_p_analyzer_fn(mb_w, mb_h, interpret))
+
+
+def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None):
+    """Un-jitted analyze fn — vmap/shard_map-composable (see parallel/mesh).
 
     interpret: run the Pallas fetch in interpreter mode (auto: on non-TPU
     backends).
@@ -397,4 +402,4 @@ def build_p_analyzer(mb_w: int, mb_h: int, interpret: bool | None = None):
             "vdc": vdc, "vac": vac, "vrec": vrec, "vnnz": vnnz,
         }
 
-    return jax.jit(analyze)
+    return analyze
