@@ -1,0 +1,215 @@
+"""A/V synchronizer — the semantics of sync.c ported as deterministic host
+logic (reference: libhb/sync.c, 3,382 lines; see SURVEY.md §3.3).
+
+Responsibilities, in reference order:
+  * per-stream sorted queues absorbing out-of-order arrivals
+    (SortedQueueBuffer sync.c:2003)
+  * common start: wait until every stream has data, compute the max first
+    PTS, trim/align every stream to it (checkFirstPts sync.c:696,
+    computeInitialTS sync.c:625)
+  * interleave output by lowest head PTS, needing ≥2 buffers per stream so
+    durations are known (OutputBuffer sync.c:1434-1751)
+  * per-stream timestamp repair: dejitter (duration vs next-pts drift),
+    gap fill (silence/black or frame extension), overlap trim
+    (fixAudioGap/Overlap sync.c:1049/1111, fixVideoOverlap sync.c:927)
+  * p-to-p (pts_to_pts) start/stop ranges (sync.c:1518-1628)
+  * SCR-discontinuity rebase (UpdateSCR sync.c:1887): a stream whose pts
+    jumps backward by more than a threshold gets a per-stream offset so the
+    output timeline stays monotonic.
+
+No device code — this is pure control logic, tested with synthetic
+timelines (tests/test_sync.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from ..core.buffer import Buffer, BufFlags, CLOCK
+
+# jitter tolerance: reference uses 100ms-scale slack for audio gaps
+GAP_THRESHOLD = CLOCK * 3 // 100       # 30 ms → fill
+JITTER_THRESHOLD = CLOCK // 1000 * 10  # 10 ms → absorb silently
+SCR_BACKJUMP = CLOCK * 2               # >2 s backward = discontinuity
+
+
+@dataclasses.dataclass
+class StreamState:
+    kind: str                       # video | audio | subtitle
+    id: int = 0
+    queue: list = dataclasses.field(default_factory=list)
+    eof: bool = False
+    first_pts: Optional[int] = None
+    next_pts: Optional[int] = None  # expected pts of next output
+    scr_offset: int = 0
+    last_pts_in: Optional[int] = None
+    gap_ticks: int = 0
+    overlap_ticks: int = 0
+    drops: int = 0
+
+
+class SyncCore:
+    """Feed buffers per stream; pull a merged, repaired, monotonic timeline.
+
+    Usage: add_stream() for each track, then queue(stream_idx, buf) /
+    set_eof(stream_idx); poll() returns output buffers in timeline order.
+    """
+
+    def __init__(self, pts_start: Optional[int] = None,
+                 pts_stop: Optional[int] = None):
+        self.streams: list[StreamState] = []
+        self.start_found = pts_start is None
+        self.pts_start = pts_start
+        self.pts_stop = pts_stop
+        self.common_start: Optional[int] = None
+        self.done = False
+
+    def add_stream(self, kind: str, sid: int = 0) -> int:
+        self.streams.append(StreamState(kind=kind, id=sid))
+        return len(self.streams) - 1
+
+    # -- input side ----------------------------------------------------------
+    def queue(self, idx: int, buf: Buffer):
+        st = self.streams[idx]
+        if buf.is_eof():
+            st.eof = True
+            return
+        if buf.pts is None:
+            # inherit: previous stop, else 0 (reference treats NOPTS as glue)
+            buf.pts = st.queue[-1].stop if st.queue else 0
+        # SCR discontinuity: large backward jump → rebase this stream
+        if (st.last_pts_in is not None
+                and buf.pts + st.scr_offset
+                < st.last_pts_in - SCR_BACKJUMP):
+            st.scr_offset = st.last_pts_in - buf.pts
+        buf = _shifted(buf, st.scr_offset)
+        st.last_pts_in = buf.pts
+        # sorted insert (decoder reorder absorb)
+        q = st.queue
+        i = len(q)
+        while i > 0 and q[i - 1].pts > buf.pts:
+            i -= 1
+        q.insert(i, buf)
+
+    def set_eof(self, idx: int):
+        self.streams[idx].eof = True
+
+    # -- output side ---------------------------------------------------------
+    def _ready(self) -> bool:
+        for st in self.streams:
+            if not st.eof and len(st.queue) < 2:
+                return False
+        return True
+
+    def _establish_start(self):
+        firsts = []
+        for st in self.streams:
+            if st.queue:
+                firsts.append(st.queue[0].pts)
+            elif not st.eof:
+                return False
+        if not firsts:
+            return False
+        start = max(firsts)
+        if self.pts_start is not None:
+            start = max(start, self.pts_start)
+        self.common_start = start
+        # trim every stream to the common start
+        for st in self.streams:
+            q = st.queue
+            while q and (q[0].stop or q[0].pts) <= start:
+                q.pop(0)
+                st.drops += 1
+            if q and q[0].pts < start:
+                b = q[0]
+                if st.kind == "audio" and b.duration:
+                    # trim head proportionally (reference trims samples)
+                    b.duration = (b.stop or b.pts + b.duration) - start
+                b.pts = start
+                b.stop = b.pts + (b.duration or 0)
+            st.next_pts = start
+        return True
+
+    def _repair(self, st: StreamState, buf: Buffer):
+        """Dejitter + gap/overlap repair against the stream's running clock."""
+        if st.next_pts is None:
+            st.next_pts = buf.pts
+        delta = buf.pts - st.next_pts
+        if abs(delta) <= JITTER_THRESHOLD:
+            # absorb jitter: snap to the running clock
+            buf.pts = st.next_pts
+            buf.stop = buf.pts + (buf.duration or 0)
+        elif delta < 0:
+            # overlap: trim (audio) / drop if fully covered
+            st.overlap_ticks += -delta
+            if (buf.stop or buf.pts) <= st.next_pts:
+                st.drops += 1
+                return None
+            buf.duration = (buf.stop or buf.pts + (buf.duration or 0)) \
+                - st.next_pts
+            buf.pts = st.next_pts
+            buf.stop = buf.pts + buf.duration
+        elif delta > GAP_THRESHOLD:
+            st.gap_ticks += delta
+            # gap: leave pts (timeline hole is legal in VFR video); audio
+            # callers may synthesize silence via the gap hook
+        st.next_pts = buf.stop if buf.stop is not None \
+            else buf.pts + (buf.duration or 0)
+        return buf
+
+    def poll(self) -> list:
+        """Emit everything currently safe to emit, merged by lowest PTS."""
+        out = []
+        if self.common_start is None:
+            if not self._ready():
+                return out
+            if not self._establish_start():
+                return out
+        while True:
+            # pick stream with lowest head pts that is safe (≥2 or EOF)
+            best = None
+            for st in self.streams:
+                if not st.queue:
+                    continue
+                if len(st.queue) < 2 and not st.eof:
+                    best = None
+                    break
+                if best is None or st.queue[0].pts < best.queue[0].pts:
+                    best = st
+            if best is None:
+                break
+            buf = best.queue.pop(0)
+            if (self.pts_stop is not None and buf.pts >= self.pts_stop):
+                best.eof = True
+                best.queue.clear()
+                if all(s.eof and not s.queue for s in self.streams):
+                    self.done = True
+                continue
+            fixed = self._repair(best, buf)
+            if fixed is not None:
+                out.append(fixed)
+        if all(s.eof and not s.queue for s in self.streams):
+            self.done = True
+        return out
+
+
+def _shifted(buf: Buffer, off: int) -> Buffer:
+    if off:
+        buf.pts = buf.pts + off
+        if buf.stop is not None:
+            buf.stop += off
+        if buf.dts is not None:
+            buf.dts += off
+    return buf
+
+
+def fill_audio_gap(st_next_pts: int, gap_ticks: int, sample_rate: int,
+                   channels: int):
+    """Silence buffer covering a gap (CreateSilenceBuf analog sync.c:290)."""
+    import numpy as np
+    nsamples = gap_ticks * sample_rate // CLOCK
+    pcm = np.zeros((nsamples, channels), np.float32)
+    b = Buffer(track_kind="audio", pts=st_next_pts, duration=gap_ticks)
+    b.stop = b.pts + gap_ticks
+    b.planes = [pcm]
+    return b

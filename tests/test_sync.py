@@ -1,0 +1,150 @@
+"""Synthetic-timeline tests for the synchronizer (the sync.c:847-1211
+semantics are the spec — gaps, overlaps, jitter, SCR jumps, p-to-p)."""
+import numpy as np
+
+from handbrake_tpu.core.buffer import Buffer, CLOCK
+from handbrake_tpu.sync.sync import SyncCore, GAP_THRESHOLD
+
+
+def vbuf(pts, dur=3003):
+    return Buffer(track_kind="video", pts=pts, duration=dur, stop=pts + dur)
+
+
+def abuf(pts, dur=1920):
+    return Buffer(track_kind="audio", pts=pts, duration=dur, stop=pts + dur)
+
+
+def drain(sc):
+    out = sc.poll()
+    return out
+
+
+def test_interleaves_by_pts():
+    sc = SyncCore()
+    v = sc.add_stream("video")
+    a = sc.add_stream("audio")
+    for i in range(4):
+        sc.queue(v, vbuf(i * 3003))
+    for i in range(6):
+        sc.queue(a, abuf(i * 1920))
+    sc.set_eof(v)
+    sc.set_eof(a)
+    out = drain(sc)
+    pts = [b.pts for b in out]
+    assert pts == sorted(pts)
+    assert sc.done
+
+
+def test_common_start_trims_to_latest_stream():
+    sc = SyncCore()
+    v = sc.add_stream("video")
+    a = sc.add_stream("audio")
+    # video starts at 0, audio at 9000 → both must start at 9000
+    for i in range(6):
+        sc.queue(v, vbuf(i * 3003))
+    for i in range(4):
+        sc.queue(a, abuf(9000 + i * 1920))
+    sc.set_eof(v)
+    sc.set_eof(a)
+    out = drain(sc)
+    assert min(b.pts for b in out) >= 9000 - 3003  # first video overlaps start
+    vid = [b for b in out if b.track_kind == "video"]
+    assert vid[0].pts == 9000
+
+
+def test_jitter_absorbed():
+    sc = SyncCore()
+    a = sc.add_stream("audio")
+    # ±5 ticks of jitter on a 1920-tick cadence
+    jit = [0, 3, -4, 5, -2, 0]
+    for i, j in enumerate(jit):
+        sc.queue(a, abuf(i * 1920 + j))
+    sc.set_eof(a)
+    out = drain(sc)
+    pts = [b.pts for b in out]
+    assert pts == [i * 1920 for i in range(len(out))]
+
+
+def test_overlap_trimmed():
+    sc = SyncCore()
+    a = sc.add_stream("audio")
+    sc.queue(a, abuf(0))
+    sc.queue(a, abuf(1000))        # overlaps previous by 920
+    sc.queue(a, abuf(1000 + 1920))
+    sc.set_eof(a)
+    out = drain(sc)
+    for prev, cur in zip(out, out[1:]):
+        assert cur.pts >= prev.stop  # monotonic, no overlap
+
+
+def test_fully_covered_buffer_dropped():
+    sc = SyncCore()
+    a = sc.add_stream("audio")
+    sc.queue(a, abuf(0, dur=1920))
+    sc.queue(a, abuf(100, dur=200))   # entirely inside the first
+    sc.queue(a, abuf(1920))
+    sc.set_eof(a)
+    out = drain(sc)
+    assert len(out) == 2
+    assert sc.streams[a].drops >= 1
+
+
+def test_gap_accounted():
+    sc = SyncCore()
+    a = sc.add_stream("audio")
+    sc.queue(a, abuf(0))
+    sc.queue(a, abuf(1920 + GAP_THRESHOLD * 2))
+    sc.queue(a, abuf(1920 + GAP_THRESHOLD * 2 + 1920))
+    sc.set_eof(a)
+    drain(sc)
+    assert sc.streams[a].gap_ticks >= GAP_THRESHOLD * 2
+
+
+def test_scr_discontinuity_rebased():
+    sc = SyncCore()
+    v = sc.add_stream("video")
+    # pts jumps backward by an hour mid-stream (SCR wrap)
+    for i in range(3):
+        sc.queue(v, vbuf(i * 3003))
+    for i in range(3):
+        sc.queue(v, vbuf(i * 3003 + 100))  # restarted clock near zero... but
+        # must continue after 2*3003+100 → rebase makes it monotonic
+    sc.set_eof(v)
+    out = drain(sc)
+    pts = [b.pts for b in out]
+    assert pts == sorted(pts)
+
+
+def test_out_of_order_decode_sorted():
+    sc = SyncCore()
+    v = sc.add_stream("video")
+    order = [0, 2, 1, 4, 3, 5]
+    for i in order:
+        sc.queue(v, vbuf(i * 3003))
+    sc.set_eof(v)
+    out = drain(sc)
+    pts = [b.pts for b in out]
+    assert pts == sorted(pts)
+    assert len(out) == 6
+
+
+def test_pts_stop_cuts_stream():
+    sc = SyncCore(pts_stop=3 * 3003)
+    v = sc.add_stream("video")
+    for i in range(10):
+        sc.queue(v, vbuf(i * 3003))
+    sc.set_eof(v)
+    out = drain(sc)
+    assert all(b.pts < 3 * 3003 for b in out)
+    assert sc.done
+
+
+def test_pts_start_search():
+    sc = SyncCore(pts_start=2 * 3003)
+    v = sc.add_stream("video")
+    for i in range(6):
+        sc.queue(v, vbuf(i * 3003))
+    sc.set_eof(v)
+    out = drain(sc)
+    assert out[0].pts == 2 * 3003
+    assert len(out) == 4
