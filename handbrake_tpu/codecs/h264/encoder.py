@@ -324,6 +324,7 @@ class H264Encoder:
     def encode_frame(self, y, u, v, analysis=None) -> bytes:
         """Encode one frame (y: HxW, u/v: H/2 x W/2, uint8). Returns NALs."""
         idr = (self.frame_idx % self.cfg.gop) == 0
+        self.last_frame_was_idr = idr
         out = b""
         if idr:
             out += self.headers()

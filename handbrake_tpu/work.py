@@ -1,0 +1,368 @@
+"""Work orchestrator — job → finished file (reference: libhb/work.c
+work_func/do_job, SURVEY.md §3.2).
+
+Pipeline assembly per pass:
+  source demux → video decode → sync → filter chain → video encode ┐
+               → audio decode → sync → audio encode ──────────────┼→ mux
+The stage graph here is a deterministic streaming loop (stages are pure
+(buffers in) → (buffers out) objects — the hb_work_object_t contract);
+the threaded substrate in core/pipeline.py is used by the Handle layer
+for background execution. Device batching happens inside the encoder
+and filter kernels, which is where the TPU parallelism lives.
+"""
+from __future__ import annotations
+
+import os
+from fractions import Fraction
+from typing import Optional
+
+import numpy as np
+
+from .codecs.registry import create_video_decoder
+from .core.buffer import Buffer, CLOCK, FrameType
+from .core.state import Progress
+from .filters.base import FilterInit
+from .filters.graph import FilterGraph
+from .core.buffer import Geometry, PIX_FMTS
+from .job.schema import Job
+from .sources.probe import open_source
+from .sync.sync import SyncCore
+from .utils.logging import log
+
+
+class WorkError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# encoders
+# ---------------------------------------------------------------------------
+def quality_to_qp(quality: float) -> int:
+    """CRF-style quality → QP for our encoder (x264 RF≈QP at crf zone)."""
+    return int(round(max(0, min(51, quality))))
+
+
+def create_video_encoder(job: Job, width: int, height: int,
+                         vrate: Fraction, interjob: Optional[dict] = None):
+    if job.vcodec in ("h264_tpu", "x264", "h264"):
+        from .codecs.h264.encoder import EncoderConfig, H264Encoder
+        qp = quality_to_qp(job.quality if job.quality is not None else 26)
+        gop = max(1, int(round(float(vrate) * 10)))  # 10 s keyint, x264 dflt
+        cfg = EncoderConfig(
+            width=width, height=height, qp=qp, gop=gop,
+            fps=(vrate.numerator, vrate.denominator),
+            backend="device" if _device_ok() else "host")
+        return H264Encoder(cfg)
+    raise WorkError(f"unknown video encoder {job.vcodec!r}")
+
+
+def _device_ok() -> bool:
+    """Use the JAX device path when available (single real chip or cpu)."""
+    return os.environ.get("HB_TPU_DISABLE_DEVICE", "0") != "1"
+
+
+# ---------------------------------------------------------------------------
+# range selection (Source.Range — hb_json.c job schema)
+# ---------------------------------------------------------------------------
+def resolve_range(job: Job, src, vrate: Fraction) -> tuple:
+    """(pts_start, pts_stop) in 90 kHz ticks, either may be None."""
+    r = job.range
+    if r.type == "time":          # seconds
+        start = r.start * CLOCK
+        stop = r.end * CLOCK if r.end else None
+        return (start or None), stop
+    if r.type == "frame":
+        tick = CLOCK * vrate.denominator / vrate.numerator
+        start = int((r.start - 1) * tick) if r.start > 1 else None
+        stop = int(r.end * tick) if r.end else None
+        return start, stop
+    if r.type == "chapter":
+        chapters = getattr(src, "chapters", [])
+        if not chapters or (r.start <= 1 and not r.end):
+            return None, None
+        starts = [c[0] for c in chapters]
+        dur = getattr(src, "duration", 0)
+        start = starts[r.start - 1] if 0 < r.start <= len(starts) else None
+        stop = starts[r.end] if 0 < r.end < len(starts) else \
+            (dur or None) if r.end else None
+        return (start or None), stop
+    return None, None
+
+
+# ---------------------------------------------------------------------------
+# do_job
+# ---------------------------------------------------------------------------
+def do_job(job: Job, state=None, die=None) -> dict:
+    """Run one pass of a job. Returns stats dict (frames, bytes, ...)."""
+    src = open_source(job.path)
+    try:
+        return _run(job, src, state, die)
+    finally:
+        src.close()
+
+
+def _run(job: Job, src, state, die) -> dict:
+    # ---- identify tracks ----
+    video_track = next((i for i, t in enumerate(src.tracks)
+                        if t.kind == "video"), None)
+    if video_track is None:
+        raise WorkError("no video track")
+    vti = src.tracks[video_track]
+    vrate = Fraction(*vti.frame_rate) if vti.frame_rate \
+        else Fraction(30000, 1001)
+    audio_sel = []            # (src_track_index, AudioJobTrack)
+    audio_srcs = [i for i, t in enumerate(src.tracks) if t.kind == "audio"]
+    for a in job.audio:
+        if 0 <= a.track < len(audio_srcs):
+            audio_sel.append((audio_srcs[a.track], a))
+
+    # ---- decoders ----
+    vdec = create_video_decoder(vti.codec, vti.extradata)
+    adecs = {}
+    for si, spec in audio_sel:
+        adecs[si] = _make_audio_decoder(src.tracks[si])
+
+    # ---- sync ----
+    pts_start, pts_stop = resolve_range(job, src, vrate)
+    sync = SyncCore(pts_start=pts_start, pts_stop=pts_stop)
+    v_sync = sync.add_stream("video")
+    a_sync = {si: sync.add_stream("audio", sid=si) for si, _ in audio_sel}
+
+    # ---- filters ----
+    fi = FilterInit(geometry=Geometry(
+        vti.width, vti.height, vti.par_num, vti.par_den),
+        pix_fmt=PIX_FMTS.get("yuv420p"), vrate=vrate)
+    graph = FilterGraph([{"ID": f.id, "Settings": f.settings}
+                         for f in job.filters], fi)
+    out_fi = graph.fi_out
+    out_w, out_h = out_fi.geometry.width, out_fi.geometry.height
+    out_vrate = out_fi.vrate
+
+    # ---- encoders ----
+    venc = create_video_encoder(job, out_w, out_h, out_vrate, job.interjob)
+    aencs = {}
+    for si, spec in audio_sel:
+        aencs[si] = _make_audio_encoder(spec, src.tracks[si])
+
+    # ---- muxer ----
+    mux = _make_muxer(job, out_fi, venc, audio_sel, src)
+
+    # ---- streaming loop ----
+    stats = {"frames_in": 0, "frames_out": 0, "bytes_out": 0}
+    nframes = getattr(src, "n_frames", 0) or (
+        getattr(src, "duration", 0) * out_vrate.numerator
+        // max(1, out_vrate.denominator * CLOCK))
+    progress = Progress(int(nframes) or 1, state.update if state else
+                        (lambda **kw: None))
+    start_state = None
+    if pts_start:
+        start_state = src.seek(pts_start)
+    it = src.packets(start_state) if start_state is not None \
+        else src.packets()
+    for trk, pkt in it:
+        if die is not None and die.is_set():
+            break
+        if trk == video_track:
+            frames = [pkt] if pkt.planes is not None else vdec.feed(pkt)
+            for f in frames:
+                sync.queue(v_sync, f)
+                stats["frames_in"] += 1
+        elif trk in adecs:
+            for ab in adecs[trk].feed(pkt):
+                sync.queue(a_sync[trk], ab)
+        _drain(sync, graph, venc, aencs, a_sync, mux, stats, progress)
+    # ---- flush ----
+    for idx in range(len(sync.streams)):
+        sync.set_eof(idx)
+    _drain(sync, graph, venc, aencs, a_sync, mux, stats, progress,
+           flush=True)
+    mux.finalize()
+    if state is not None:
+        state.update(progress=1.0)
+    stats["width"], stats["height"] = out_w, out_h
+    return stats
+
+
+def _drain(sync, graph, venc, aencs, a_sync, mux, stats, progress,
+           flush=False):
+    out = sync.poll()
+    if flush:
+        out += _flush_tail(sync)
+    for buf in out:
+        if buf.track_kind == "video":
+            for fb in graph.work(buf):
+                if fb.is_eof():
+                    continue
+                _encode_video(venc, fb, mux, stats, progress)
+        elif buf.track_kind == "audio":
+            enc = aencs.get(buf.stream_id)
+            if enc is not None:
+                for pkt in enc.encode(buf):
+                    mux.write_audio(buf.stream_id, pkt)
+    if flush:
+        for fb in graph.flush():
+            _encode_video(venc, fb, mux, stats, progress)
+        for sid, enc in aencs.items():
+            for pkt in enc.flush():
+                mux.write_audio(sid, pkt)
+
+
+def _flush_tail(sync) -> list:
+    # after EOF everything still queued is emittable
+    return sync.poll()
+
+
+def _encode_video(venc, fb, mux, stats, progress):
+    y, u, v = (np.asarray(p) for p in fb.planes)
+    au = venc.encode_frame(y, u, v)
+    mux.write_video(au, fb, idr=venc.last_frame_was_idr)
+    stats["frames_out"] += 1
+    stats["bytes_out"] += len(au)
+    progress.tick()
+
+
+# ---------------------------------------------------------------------------
+# audio stages (v1: PCM decode + PCM/copy output; AAC encoder follows)
+# ---------------------------------------------------------------------------
+class _PcmDecoder:
+    def __init__(self, ti):
+        self.ti = ti
+
+    def feed(self, buf: Buffer) -> list:
+        if buf.data is None:
+            return []
+        pcm = np.frombuffer(buf.data, "<i2").astype(np.float32) / 32768.0
+        pcm = pcm.reshape(-1, max(1, self.ti.channels))
+        out = Buffer(track_kind="audio").copy_props(buf)
+        out.planes = [pcm]
+        out.data = None
+        return [out]
+
+
+class _CopyAudioDecoder:
+    """Passthrough: compressed packets ride the sync layer unchanged."""
+
+    def feed(self, buf: Buffer) -> list:
+        return [buf]
+
+
+def _make_audio_decoder(ti):
+    if ti.codec in ("pcm_s16le", "lpcm"):
+        return _PcmDecoder(ti)
+    return _CopyAudioDecoder()
+
+
+class _PcmEncoder:
+    """float32 frames → s16le packets."""
+
+    def encode(self, buf: Buffer) -> list:
+        if buf.planes is None:     # passthrough packet
+            return [buf]
+        pcm = np.clip(np.asarray(buf.planes[0]), -1.0, 1.0)
+        data = (pcm * 32767.0).astype("<i2").tobytes()
+        out = Buffer(data=data, track_kind="audio").copy_props(buf)
+        out.planes = None
+        return [out]
+
+    def flush(self) -> list:
+        return []
+
+
+class _CopyAudioEncoder:
+    def encode(self, buf: Buffer) -> list:
+        return [buf] if buf.data is not None else []
+
+    def flush(self) -> list:
+        return []
+
+
+def _make_audio_encoder(spec, ti):
+    if spec.encoder in ("copy", f"copy:{ti.codec}"):
+        return _CopyAudioEncoder()
+    if spec.encoder in ("pcm_s16le", "pcm"):
+        return _PcmEncoder()
+    if spec.encoder == "aac":
+        try:
+            from .audio.aac import AacEncoderStage
+            return AacEncoderStage(ti.sample_rate, ti.channels,
+                                   spec.bitrate * 1000)
+        except ImportError:
+            return _PcmEncoder()
+    return _PcmEncoder()
+
+
+# ---------------------------------------------------------------------------
+# mux adapter
+# ---------------------------------------------------------------------------
+class _MuxAdapter:
+    """Wraps MP4Writer/MKVWriter behind one write_video/write_audio API
+    (muxcommon.c role: track fan-in; interleave is the writers' concern)."""
+
+    def __init__(self, job: Job, out_fi, audio_sel, src):
+        self.job = job
+        self.kind = job.mux
+        path = job.file or "out.mp4"
+        self._amap = {}
+        if self.kind in ("mkv", "webm"):
+            from .mux.mkv import MKVWriter
+            self.w = MKVWriter(path, webm=(self.kind == "webm"))
+            self.vtrack = self.w.add_video_track(
+                codec="h264", width=out_fi.geometry.width,
+                height=out_fi.geometry.height,
+                fps=float(out_fi.vrate))
+            for si, spec in audio_sel:
+                ti = src.tracks[si]
+                codec = "pcm_s16le" if spec.encoder in ("pcm", "pcm_s16le") \
+                    else ("aac" if spec.encoder == "aac" else ti.codec)
+                self._amap[si] = self.w.add_audio_track(
+                    codec=codec, sample_rate=ti.sample_rate,
+                    channels=ti.channels, language=ti.language)
+        else:
+            from .mux.mp4 import MP4Writer
+            self.w = MP4Writer(path)
+            self.vtrack = self.w.add_video_track(
+                codec="h264", width=out_fi.geometry.width,
+                height=out_fi.geometry.height)
+            for si, spec in audio_sel:
+                ti = src.tracks[si]
+                codec = "pcm_s16le" if spec.encoder in ("pcm", "pcm_s16le") \
+                    else ("aac" if spec.encoder == "aac" else ti.codec)
+                self._amap[si] = self.w.add_audio_track(
+                    codec=codec, sample_rate=ti.sample_rate,
+                    channels=ti.channels, language=ti.language)
+        if job.chapter_markers:
+            for i, (start, name) in enumerate(getattr(src, "chapters", [])):
+                title = job.chapter_names[i] \
+                    if i < len(job.chapter_names) else name
+                self.w.add_chapter(start, title or f"Chapter {i + 1}")
+        self.metadata = dict(job.metadata)
+        if hasattr(self.w, "metadata"):
+            self.w.metadata = self.metadata
+
+    def write_video(self, au: bytes, fb: Buffer, idr: bool):
+        dur = fb.duration or 0
+        if self.kind in ("mkv", "webm"):
+            self.w.write_sample(self.vtrack, au, pts_90k=fb.pts or 0,
+                                duration_90k=dur, sync=idr, annexb=True)
+        else:
+            self.w.write_sample(self.vtrack, au, duration=dur, sync=idr,
+                                annexb=True)
+
+    def write_audio(self, sid: int, pkt: Buffer):
+        tr = self._amap.get(sid)
+        if tr is None or pkt.data is None:
+            return
+        if self.kind in ("mkv", "webm"):
+            self.w.write_sample(tr, pkt.data, pts_90k=pkt.pts or 0,
+                                duration_90k=pkt.duration or 0)
+        else:
+            t = self.w.tracks[tr]
+            dur = (pkt.duration or 0) * t.timescale // CLOCK
+            self.w.write_sample(tr, pkt.data, duration=dur)
+
+    def finalize(self):
+        self.w.finalize()
+
+
+def _make_muxer(job: Job, out_fi, venc, audio_sel, src):
+    return _MuxAdapter(job, out_fi, audio_sel, src)

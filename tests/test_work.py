@@ -1,0 +1,126 @@
+"""End-to-end work orchestrator (do_job analog, work.c:1729): source →
+decode → sync → filters → encode → mux, then re-open the output and
+verify structure + content.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from handbrake_tpu import work
+from handbrake_tpu.codecs.registry import create_video_decoder
+from handbrake_tpu.job import schema as S
+from handbrake_tpu.job.schema import FilterSpec, Job, RangeSpec
+from handbrake_tpu.sources.mp4 import MP4Demuxer
+from handbrake_tpu.sources.mkv import MKVDemuxer
+
+W, H, N = 64, 48, 12
+FPS = (30000, 1001)
+
+
+@pytest.fixture(scope="module")
+def y4m_src(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("work") / "in.y4m")
+    base = (np.add.outer(np.arange(H), np.arange(W)) * 3 % 256).astype(
+        np.uint8)
+    with open(path, "wb") as f:
+        f.write(f"YUV4MPEG2 W{W} H{H} F{FPS[0]}:{FPS[1]} Ip A1:1 C420\n"
+                .encode())
+        for i in range(N):
+            f.write(b"FRAME\n")
+            f.write(np.roll(base, i, axis=1).tobytes())
+            f.write(bytes([110 + i]) * (W // 2 * H // 2))
+            f.write(bytes([60]) * (W // 2 * H // 2))
+    return path
+
+
+@pytest.fixture(autouse=True)
+def host_encoder(monkeypatch):
+    # unit tests exercise the host entropy path; device analysis is
+    # covered by the bench/entry compile checks
+    monkeypatch.setenv("HB_TPU_DISABLE_DEVICE", "1")
+
+
+def test_do_job_mp4(y4m_src, tmp_path):
+    out = str(tmp_path / "out.mp4")
+    j = Job(path=y4m_src, file=out, mux="mp4", quality=28.0)
+    stats = work.do_job(j)
+    assert stats["frames_in"] == N
+    assert stats["frames_out"] == N
+    d = MP4Demuxer(out)
+    assert d.tracks[0].codec == "h264"
+    assert (d.tracks[0].width, d.tracks[0].height) == (W, H)
+    assert d.n_samples(0) == N
+    dec = create_video_decoder("h264", d.tracks[0].extradata)
+    frames = []
+    for _, b in d.packets():
+        frames.extend(dec.feed(b))
+    assert len(frames) == N
+    # quality sanity: qp 28 on synthetic gradient should be close
+    base = (np.add.outer(np.arange(H), np.arange(W)) * 3 % 256).astype(
+        np.uint8)
+    err = np.abs(np.asarray(frames[0].planes[0]).astype(int)
+                 - base.astype(int)).mean()
+    assert err < 12.0
+    d.close()
+
+
+def test_do_job_scaled_mkv(y4m_src, tmp_path):
+    out = str(tmp_path / "out.mkv")
+    j = Job(path=y4m_src, file=out, mux="mkv", quality=28.0)
+    j.filters = [FilterSpec(S.FILTER_CROP_SCALE,
+                            {"width": 32, "height": 24})]
+    stats = work.do_job(j)
+    assert stats["frames_out"] == N
+    assert (stats["width"], stats["height"]) == (32, 24)
+    d = MKVDemuxer(out)
+    assert (d.tracks[0].width, d.tracks[0].height) == (32, 24)
+    dec = create_video_decoder("h264", d.tracks[0].extradata)
+    frames = []
+    for _, b in d.packets():
+        frames.extend(dec.feed(b))
+    assert len(frames) == N
+    assert np.asarray(frames[0].planes[0]).shape == (24, 32)
+    d.close()
+
+
+def test_do_job_frame_range(y4m_src, tmp_path):
+    out = str(tmp_path / "rng.mp4")
+    j = Job(path=y4m_src, file=out, mux="mp4", quality=28.0,
+            range=RangeSpec(type="frame", start=1, end=6))
+    stats = work.do_job(j)
+    assert stats["frames_out"] == 6
+    d = MP4Demuxer(out)
+    assert d.n_samples(0) == 6
+    d.close()
+
+
+def test_do_job_transcode_mp4_to_mp4(y4m_src, tmp_path):
+    """Second generation: transcode our own mp4 output (decode path)."""
+    first = str(tmp_path / "gen1.mp4")
+    work.do_job(Job(path=y4m_src, file=first, mux="mp4", quality=24.0))
+    out = str(tmp_path / "gen2.mp4")
+    stats = work.do_job(Job(path=first, file=out, mux="mp4", quality=30.0))
+    assert stats["frames_in"] == N
+    assert stats["frames_out"] == N
+    d = MP4Demuxer(out)
+    assert d.n_samples(0) == N
+    d.close()
+
+
+def test_job_json_roundtrip_drives_work(y4m_src, tmp_path):
+    """hb_add_json path: job dict → Job → run."""
+    out = str(tmp_path / "json.mp4")
+    jd = {
+        "Source": {"Path": y4m_src, "Title": 1,
+                   "Range": {"Type": "frame", "Start": 1, "End": 4}},
+        "Destination": {"Mux": "mp4", "File": out},
+        "Video": {"Encoder": "h264_tpu", "Quality": 30.0},
+        "Filters": {"FilterList": [
+            {"ID": S.FILTER_CROP_SCALE,
+             "Settings": {"width": 32, "height": 32}}]},
+    }
+    j = Job.from_json(jd)
+    stats = work.do_job(j)
+    assert stats["frames_out"] == 4
+    assert stats["width"] == 32
