@@ -39,13 +39,15 @@ MV_CLAMP = 22     # |full-pel mv| bound; keeps every access inside the pads
 # ---------------------------------------------------------------------------
 # traced-qp quantization (same integer arithmetic as transform.py)
 # ---------------------------------------------------------------------------
-_MF = jnp.asarray(MF4x4.astype(np.int32))
-_V = jnp.asarray(V4x4.astype(np.int32))
+# numpy at module scope (no backend init at import); jnp consumes them
+# as constants when traced.
+_MF = MF4x4.astype(np.int32)
+_V = V4x4.astype(np.int32)
 
 
 def _quant4x4_t(w, qp, intra: bool):
     qbits = QBITS_BASE + qp // 6
-    mf = _MF[qp % 6]
+    mf = jnp.asarray(_MF)[qp % 6]
     f = jnp.where(intra, (1 << qbits) // 3, (1 << qbits) // 6)
     aw = jnp.abs(w)
     lv = jnp.right_shift(aw * mf + f, qbits)
@@ -54,7 +56,7 @@ def _quant4x4_t(w, qp, intra: bool):
 
 def _quant_dc_t(w, qp, intra: bool):
     qbits = QBITS_BASE + qp // 6
-    mf00 = _MF[qp % 6, 0, 0]
+    mf00 = jnp.asarray(_MF)[qp % 6, 0, 0]
     f = jnp.where(intra, (1 << qbits) // 3, (1 << qbits) // 6)
     aw = jnp.abs(w)
     lv = jnp.right_shift(aw * mf00 + 2 * f, qbits + 1)
@@ -62,17 +64,17 @@ def _quant_dc_t(w, qp, intra: bool):
 
 
 def _dequant4x4_t(lv, qp):
-    return jnp.left_shift(lv * _V[qp % 6], qp // 6)
+    return jnp.left_shift(lv * jnp.asarray(_V)[qp % 6], qp // 6)
 
 
 def _dequant_chroma_dc_t(f, qp):
-    ls = 16 * _V[qp % 6, 0, 0]
+    ls = 16 * jnp.asarray(_V)[qp % 6, 0, 0]
     return jnp.right_shift(jnp.left_shift(f * ls, qp // 6), 5)
 
 
-_CF = jnp.asarray(np.array([[1, 1, 1, 1], [2, 1, -1, -2],
-                            [1, -1, -1, 1], [1, -2, 2, -1]], np.int32))
-_H2 = jnp.asarray(np.array([[1, 1], [1, -1]], np.int32))
+_CF = np.array([[1, 1, 1, 1], [2, 1, -1, -2],
+                [1, -1, -1, 1], [1, -2, 2, -1]], np.int32)
+_H2 = np.array([[1, 1], [1, -1]], np.int32)
 
 
 def _fdct(d):

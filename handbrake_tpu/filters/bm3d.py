@@ -36,7 +36,10 @@ def _dct_mat(n):
     return m.astype(np.float32)
 
 
-_D = jnp.asarray(_dct_mat(B))
+# numpy at module scope: a jnp.asarray here would initialize the JAX
+# backend at import time (breaks import when the TPU is held elsewhere);
+# jnp ops inside the jitted fn consume the numpy constant directly.
+_D = _dct_mat(B)
 
 
 def _to_blocks(x, oy, ox):

@@ -45,7 +45,10 @@ class VFRFilter(Filter):
     def init(self, fi: FilterInit) -> FilterInit:
         s = self.settings
         self.mode = int(s.get("mode", 0))
-        self.rate = _parse_rate(s.get("rate"), fi.vrate)
+        if "rate-num" in s and "rate-den" in s:
+            self.rate = Fraction(int(s["rate-num"]), int(s["rate-den"]))
+        else:
+            self.rate = _parse_rate(s.get("rate"), fi.vrate)
         self.frame_ticks = Fraction(CLOCK, 1) / self.rate
         self.out_pts = None       # next CFR grid position (Fraction)
         self.pending: list = []   # candidate queue (≤2) for drop choice

@@ -73,6 +73,8 @@ def _median_crop(crops: list) -> tuple:
 def scan_title(path: str, index: int = 1, preview_count: int = 10,
                keep_previews: bool = False) -> Optional[Title]:
     """Scan one file into a Title (DecodePreviews analog)."""
+    from .utils.platform import ensure_backend
+    ensure_backend()
     try:
         src = open_source(path)
     except Exception as e:  # noqa: BLE001 — unreadable file → no title

@@ -92,16 +92,18 @@ def resolve_range(job: Job, src, vrate: Fraction) -> tuple:
 # ---------------------------------------------------------------------------
 # do_job
 # ---------------------------------------------------------------------------
-def do_job(job: Job, state=None, die=None) -> dict:
+def do_job(job: Job, state=None, die=None, pause=None) -> dict:
     """Run one pass of a job. Returns stats dict (frames, bytes, ...)."""
+    from .utils.platform import ensure_backend
+    ensure_backend()
     src = open_source(job.path)
     try:
-        return _run(job, src, state, die)
+        return _run(job, src, state, die, pause)
     finally:
         src.close()
 
 
-def _run(job: Job, src, state, die) -> dict:
+def _run(job: Job, src, state, die, pause=None) -> dict:
     # ---- identify tracks ----
     video_track = next((i for i, t in enumerate(src.tracks)
                         if t.kind == "video"), None)
@@ -160,6 +162,8 @@ def _run(job: Job, src, state, die) -> dict:
     it = src.packets(start_state) if start_state is not None \
         else src.packets()
     for trk, pkt in it:
+        if pause is not None:
+            pause.wait()        # hb_pause: stall between frames
         if die is not None and die.is_set():
             break
         if trk == video_track:
