@@ -147,7 +147,7 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
         aencs[si] = _make_audio_encoder(spec, src.tracks[si])
 
     # ---- muxer ----
-    mux = _make_muxer(job, out_fi, venc, audio_sel, src)
+    mux = _MuxAdapter(job, out_fi, audio_sel, src, aencs)
 
     # ---- streaming loop ----
     stats = {"frames_in": 0, "frames_out": 0, "bytes_out": 0}
@@ -201,7 +201,7 @@ def _drain(sync, graph, venc, aencs, a_sync, mux, stats, progress,
         elif buf.track_kind == "audio":
             enc = aencs.get(buf.stream_id)
             if enc is not None:
-                for pkt in enc.encode(buf):
+                for pkt in enc.process(buf):
                     mux.write_audio(buf.stream_id, pkt)
     if flush:
         for fb in graph.flush():
@@ -256,43 +256,16 @@ def _make_audio_decoder(ti):
     return _CopyAudioDecoder()
 
 
-class _PcmEncoder:
-    """float32 frames → s16le packets."""
-
-    def encode(self, buf: Buffer) -> list:
-        if buf.planes is None:     # passthrough packet
-            return [buf]
-        pcm = np.clip(np.asarray(buf.planes[0]), -1.0, 1.0)
-        data = (pcm * 32767.0).astype("<i2").tobytes()
-        out = Buffer(data=data, track_kind="audio").copy_props(buf)
-        out.planes = None
-        return [out]
-
-    def flush(self) -> list:
-        return []
-
-
-class _CopyAudioEncoder:
-    def encode(self, buf: Buffer) -> list:
-        return [buf] if buf.data is not None else []
-
-    def flush(self) -> list:
-        return []
-
-
 def _make_audio_encoder(spec, ti):
-    if spec.encoder in ("copy", f"copy:{ti.codec}"):
-        return _CopyAudioEncoder()
-    if spec.encoder in ("pcm_s16le", "pcm"):
-        return _PcmEncoder()
+    """Audio chain per output track (resample/mixdown/gain/drc + encoder).
+    AAC encode is not yet native — falls back to pcm; passthrough and
+    flac/pcm are full-quality paths."""
+    from .audio.chain import AudioChain
+    import copy as _copy
+    spec = _copy.copy(spec)
     if spec.encoder == "aac":
-        try:
-            from .audio.aac import AacEncoderStage
-            return AacEncoderStage(ti.sample_rate, ti.channels,
-                                   spec.bitrate * 1000)
-        except ImportError:
-            return _PcmEncoder()
-    return _PcmEncoder()
+        spec.encoder = "pcm_s16le"
+    return AudioChain(spec, ti)
 
 
 # ---------------------------------------------------------------------------
@@ -302,9 +275,10 @@ class _MuxAdapter:
     """Wraps MP4Writer/MKVWriter behind one write_video/write_audio API
     (muxcommon.c role: track fan-in; interleave is the writers' concern)."""
 
-    def __init__(self, job: Job, out_fi, audio_sel, src):
+    def __init__(self, job: Job, out_fi, audio_sel, src, aencs=None):
         self.job = job
         self.kind = job.mux
+        self.aencs = aencs or {}
         path = job.file or "out.mp4"
         self._amap = {}
         if self.kind in ("mkv", "webm"):
@@ -316,11 +290,18 @@ class _MuxAdapter:
                 fps=float(out_fi.vrate))
             for si, spec in audio_sel:
                 ti = src.tracks[si]
-                codec = "pcm_s16le" if spec.encoder in ("pcm", "pcm_s16le") \
-                    else ("aac" if spec.encoder == "aac" else ti.codec)
+                chain = self.aencs.get(si)
+                priv = b""
+                if chain is not None and chain.out_codec() == "flac":
+                    from .audio.flac import FLAC_MARKER
+                    priv = FLAC_MARKER + chain.extradata(initial=True)
+                elif chain is not None and chain.is_passthrough():
+                    priv = ti.extradata
                 self._amap[si] = self.w.add_audio_track(
-                    codec=codec, sample_rate=ti.sample_rate,
-                    channels=ti.channels, language=ti.language)
+                    codec=chain.out_codec() if chain else ti.codec,
+                    sample_rate=chain.sr_out if chain else ti.sample_rate,
+                    channels=chain.out_channels if chain else ti.channels,
+                    private=priv, language=ti.language)
         else:
             from .mux.mp4 import MP4Writer
             self.w = MP4Writer(path)
@@ -329,11 +310,12 @@ class _MuxAdapter:
                 height=out_fi.geometry.height)
             for si, spec in audio_sel:
                 ti = src.tracks[si]
-                codec = "pcm_s16le" if spec.encoder in ("pcm", "pcm_s16le") \
-                    else ("aac" if spec.encoder == "aac" else ti.codec)
+                chain = self.aencs.get(si)
                 self._amap[si] = self.w.add_audio_track(
-                    codec=codec, sample_rate=ti.sample_rate,
-                    channels=ti.channels, language=ti.language)
+                    codec=chain.out_codec() if chain else ti.codec,
+                    sample_rate=chain.sr_out if chain else ti.sample_rate,
+                    channels=chain.out_channels if chain else ti.channels,
+                    language=ti.language)
         if job.chapter_markers:
             for i, (start, name) in enumerate(getattr(src, "chapters", [])):
                 title = job.chapter_names[i] \
@@ -365,8 +347,13 @@ class _MuxAdapter:
             self.w.write_sample(tr, pkt.data, duration=dur)
 
     def finalize(self):
+        # late extradata (FLAC STREAMINFO carries final MD5/total-samples;
+        # mp4 writes sample entries in moov at finalize so this is exact)
+        if self.kind not in ("mkv", "webm"):
+            for si, tr in self._amap.items():
+                chain = self.aencs.get(si)
+                if chain is not None:
+                    xd = chain.extradata()
+                    if xd:
+                        self.w.tracks[tr].extradata = xd
         self.w.finalize()
-
-
-def _make_muxer(job: Job, out_fi, venc, audio_sel, src):
-    return _MuxAdapter(job, out_fi, audio_sel, src)

@@ -1,0 +1,174 @@
+"""Audio subsystem: FLAC codec round trips, DSP, and the work-pipeline
+audio chain (reference roles: encavcodecaudio.c, audio_resample,
+acompressor/agate).
+"""
+import numpy as np
+import pytest
+
+from handbrake_tpu.audio import dsp
+from handbrake_tpu.audio.chain import AudioChain
+from handbrake_tpu.audio.flac import FlacDecoder, FlacEncoder
+from handbrake_tpu.core.buffer import Buffer
+from handbrake_tpu.job.schema import AudioJobTrack
+from handbrake_tpu.sources.common import TrackInfo
+
+
+def _sig(n, ch=2, sr=48000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    base = 0.5 * np.sin(2 * np.pi * 440 * t) \
+        + 0.05 * rng.standard_normal(n)
+    return np.stack([np.roll(base, 7 * c) for c in range(ch)], axis=1)
+
+
+# -- FLAC ---------------------------------------------------------------------
+@pytest.mark.parametrize("kind", ["tone", "silence", "noise", "ramp"])
+def test_flac_lossless(kind, rng):
+    n = 9000
+    if kind == "tone":
+        pcm = _sig(n)
+    elif kind == "silence":
+        pcm = np.zeros((n, 2))
+    elif kind == "noise":
+        pcm = rng.uniform(-1, 1, (n, 2))
+    else:
+        pcm = np.tile((np.arange(n) % 2000 / 1000 - 1)[:, None], (1, 2))
+    pcm16 = np.clip(pcm * 32767, -32768, 32767).astype(np.int32)
+    enc = FlacEncoder(48000, 2, 16)
+    stream = None
+    frames = enc.encode(pcm16) + enc.flush()
+    stream = enc.header() + frames
+    dec = FlacDecoder(stream)
+    assert (dec.sr, dec.ch, dec.bits) == (48000, 2, 16)
+    out = dec.decode_all()
+    assert np.array_equal(out, pcm16)
+
+
+def test_flac_compresses_tonal():
+    pcm16 = np.clip(_sig(48000) * 32767, -32768, 32767).astype(np.int32)
+    enc = FlacEncoder(48000, 2, 16)
+    stream = enc.header() + enc.encode(pcm16) + enc.flush()
+    # fixed predictors only (LPC later): ~0.85 on a noisy sine
+    assert len(stream) < pcm16.size * 2 * 0.9
+
+
+def test_flac_md5_in_streaminfo():
+    import hashlib
+    pcm16 = np.clip(_sig(5000) * 32767, -32768, 32767).astype(np.int32)
+    enc = FlacEncoder(48000, 2, 16)
+    enc.encode(pcm16)
+    enc.flush()
+    si = enc.streaminfo()
+    assert si[18:34] == hashlib.md5(pcm16.astype("<i2").tobytes()).digest()
+
+
+# -- DSP ----------------------------------------------------------------------
+def test_mixdown_stereo_from_51():
+    pcm = np.zeros((100, 6), np.float32)
+    pcm[:, 2] = 1.0          # center only
+    out = dsp.apply_mixdown(pcm, "stereo")
+    assert out.shape == (100, 2)
+    assert np.allclose(out[:, 0], dsp.CLEV)
+    assert np.allclose(out[:, 1], dsp.CLEV)
+
+
+def test_mixdown_mono():
+    pcm = np.ones((50, 2), np.float32)
+    out = dsp.apply_mixdown(pcm, "mono")
+    assert out.shape == (50, 1)
+    assert np.allclose(out, 1.0)
+
+
+def test_resample_preserves_tone():
+    sr1, sr2 = 48000, 44100
+    n = 4800
+    t = np.arange(n) / sr1
+    pcm = np.sin(2 * np.pi * 1000 * t)[:, None].astype(np.float32)
+    out = dsp.resample(pcm, sr1, sr2)
+    assert abs(len(out) - n * sr2 / sr1) <= 1
+    # measure dominant frequency of the middle section
+    mid = out[len(out) // 4: 3 * len(out) // 4, 0]
+    spec = np.abs(np.fft.rfft(mid * np.hanning(len(mid))))
+    freq = np.argmax(spec) * sr2 / len(mid)
+    assert abs(freq - 1000) < 30
+
+
+def test_gain_and_drc():
+    pcm = np.full((10, 1), 0.5, np.float32)
+    assert np.allclose(dsp.apply_gain(pcm, 6.0), 0.5 * 10 ** 0.3)
+    loud = np.full((10, 1), 0.9, np.float32)
+    out = dsp.apply_drc(loud, 2.0)
+    assert np.all(out < 0.9)          # compressed above -20 dB
+    quiet = np.full((10, 1), 0.05, np.float32)
+    assert np.allclose(dsp.apply_drc(quiet, 2.0), quiet)
+
+
+def test_compressor_reduces_peaks():
+    sr = 48000
+    pcm = np.concatenate([np.full(2000, 0.05), np.full(2000, 0.9)])[:, None]
+    c = dsp.Compressor(sr, threshold_db=-18, ratio=4.0)
+    out = c.process(pcm.astype(np.float32))
+    assert out[-1, 0] < 0.6           # loud tail compressed
+    assert abs(out[500, 0] - 0.05) < 0.01
+
+
+def test_gate_cuts_silence():
+    sr = 48000
+    # long quiet tail so the release-time envelope actually decays
+    pcm = np.concatenate([np.full(3000, 0.5),
+                          np.full(40000, 0.001)])[:, None]
+    g = dsp.Gate(sr, threshold_db=-40)
+    out = g.process(pcm.astype(np.float32))
+    assert abs(out[1000, 0] - 0.5) < 0.01
+    assert abs(out[-1, 0]) < 5e-4
+
+
+# -- chain --------------------------------------------------------------------
+def _chain(encoder="flac", mixdown="stereo", samplerate=0, ch=2):
+    spec = AudioJobTrack(track=0, encoder=encoder, mixdown=mixdown,
+                         samplerate=samplerate)
+    ti = TrackInfo(kind="audio", codec="pcm_s16le", sample_rate=48000,
+                   channels=ch)
+    return AudioChain(spec, ti)
+
+
+def test_chain_flac_roundtrip():
+    chain = _chain("flac")
+    pcm = _sig(9000)
+    buf = Buffer(track_kind="audio", pts=0)
+    buf.planes = [pcm.astype(np.float32)]
+    pkts = chain.process(buf) + chain.flush()
+    assert pkts
+    stream = b"fLaC" + chain.extradata() + b"".join(p.data for p in pkts)
+    dec = FlacDecoder(stream)
+    out = dec.decode_all()
+    # same float32 path the chain takes (float64 ref differs by ±1 LSB)
+    ref = np.clip(pcm.astype(np.float32) * 32767.0,
+                  -32768, 32767).astype(np.int32)
+    assert np.array_equal(out, ref)
+    # timing: packets tile the stream sample-accurately
+    assert pkts[0].pts == 0
+    total = sum(p.duration for p in pkts)
+    assert abs(total - 9000 * 90000 // 48000) <= 1
+
+
+def test_chain_mixdown_51_to_stereo():
+    chain = _chain("pcm_s16le", mixdown="stereo", ch=6)
+    pcm = np.zeros((1000, 6), np.float32)
+    pcm[:, 0] = 0.5
+    buf = Buffer(track_kind="audio", pts=0)
+    buf.planes = [pcm]
+    pkts = chain.process(buf)
+    out = np.frombuffer(pkts[0].data, "<i2").reshape(-1, 2)
+    assert abs(out[0, 0] - int(0.5 * 32767)) <= 1
+    assert out[0, 1] == 0
+
+
+def test_chain_resample_pts():
+    chain = _chain("pcm_s16le", samplerate=24000)
+    pcm = _sig(4800)
+    buf = Buffer(track_kind="audio", pts=0)
+    buf.planes = [pcm.astype(np.float32)]
+    pkts = chain.process(buf)
+    out = np.frombuffer(pkts[0].data, "<i2").reshape(-1, 2)
+    assert abs(len(out) - 2400) <= 1

@@ -124,3 +124,54 @@ def test_job_json_roundtrip_drives_work(y4m_src, tmp_path):
     stats = work.do_job(j)
     assert stats["frames_out"] == 4
     assert stats["width"] == 32
+
+
+def test_do_job_with_audio_flac(tmp_path):
+    """A/V source (pcm in mp4) → H.264 + FLAC, audio bit-exact."""
+    from handbrake_tpu.audio.flac import FlacDecoder
+    from handbrake_tpu.codecs.h264.encoder import EncoderConfig, H264Encoder
+    from handbrake_tpu.job.schema import AudioJobTrack
+    from handbrake_tpu.mux.mp4 import MP4Writer
+
+    src_path = str(tmp_path / "av.mp4")
+    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=28, gop=6))
+    w = MP4Writer(src_path)
+    vi = w.add_video_track(codec="h264", width=W, height=H)
+    ai = w.add_audio_track(codec="pcm_s16le", sample_rate=48000, channels=2)
+    base = (np.add.outer(np.arange(H), np.arange(W)) * 3 % 256).astype(
+        np.uint8)
+    rng2 = np.random.default_rng(3)
+    t = np.arange(1600) / 48000.0
+    audio = (0.4 * np.sin(2 * np.pi * 440 * t)
+             + 0.02 * rng2.standard_normal(1600))
+    audio16 = np.clip(np.stack([audio, audio], 1) * 32767,
+                      -32768, 32767).astype(np.int16)
+    for i in range(N):
+        y = np.roll(base, i, axis=1)
+        u = np.full((H // 2, W // 2), 110, np.uint8)
+        v = np.full((H // 2, W // 2), 60, np.uint8)
+        w.write_sample(vi, enc.encode_frame(y, u, v), duration=3003,
+                       sync=(i % 6 == 0), annexb=True)
+        w.write_sample(ai, audio16.astype("<i2").tobytes(), duration=1600)
+    w.finalize()
+
+    out = str(tmp_path / "av_out.mkv")
+    j = Job(path=src_path, file=out, mux="mkv", quality=28.0)
+    j.audio = [AudioJobTrack(track=0, encoder="flac", mixdown="stereo")]
+    stats = work.do_job(j)
+    assert stats["frames_out"] == N
+
+    d = MKVDemuxer(out)
+    kinds = [(t.kind, t.codec) for t in d.tracks]
+    assert ("audio", "flac") in kinds
+    atrk = kinds.index(("audio", "flac"))
+    frames = [b.data for trk, b in d.packets() if trk == atrk]
+    assert frames
+    stream = d.tracks[atrk].extradata + b"".join(frames)
+    dec = FlacDecoder(stream)
+    got = dec.decode_all()
+    ref = np.tile(audio16.astype(np.int32), (N, 1))
+    # float32 path in the chain: ±1 LSB vs the int source
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() <= 1
+    d.close()
