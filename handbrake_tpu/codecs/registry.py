@@ -71,6 +71,53 @@ class H264VideoDecoder(VideoDecoder):
         return dict(self._info)
 
 
+class HEVCVideoDecoder(VideoDecoder):
+    def __init__(self, extradata: bytes = b""):
+        from .hevc.decoder import HEVCDecoder
+        self.dec = HEVCDecoder()
+        self._info: dict = {}
+        if extradata:
+            self._feed_hvcc_config(extradata)
+
+    def _feed_hvcc_config(self, hvcc: bytes):
+        """Parse VPS/SPS/PPS NALs out of an hvcC box payload."""
+        if len(hvcc) < 23 or hvcc[0] != 1:
+            return
+        i = 22
+        n_arrays = hvcc[i]
+        i += 1
+        for _ in range(n_arrays):
+            if i + 3 > len(hvcc):
+                return
+            n_nals = int.from_bytes(hvcc[i + 1:i + 3], "big")
+            i += 3
+            for _ in range(n_nals):
+                ln = int.from_bytes(hvcc[i:i + 2], "big")
+                i += 2
+                self.dec.decode(b"\x00\x00\x00\x01" + hvcc[i:i + ln])
+                i += ln
+
+    def feed(self, buf: Buffer) -> list:
+        if buf.data is None:
+            return []
+        frames = self.dec.decode(buf.data)
+        out = []
+        for (y, u, v) in frames:
+            fb = Buffer(planes=[y, u, v],
+                        pix_fmt=PIX_FMTS["yuv420p"]).copy_props(buf)
+            fb.data = None
+            out.append(fb)
+        sps = self.dec.sps
+        if sps is not None and not self._info:
+            self._info = {"width": sps.width - sps.crop_right,
+                          "height": sps.height - sps.crop_bottom,
+                          "pix_fmt": "yuv420p"}
+        return out
+
+    def info(self) -> dict:
+        return dict(self._info)
+
+
 class RawVideoDecoder(VideoDecoder):
     """Identity: sources like y4m already yield raw frames."""
 
@@ -81,6 +128,8 @@ class RawVideoDecoder(VideoDecoder):
 def create_video_decoder(codec: str, extradata: bytes = b"") -> VideoDecoder:
     if codec == "h264":
         return H264VideoDecoder(extradata)
+    if codec == "hevc":
+        return HEVCVideoDecoder(extradata)
     if codec == "rawvideo":
         return RawVideoDecoder()
     raise ValueError(f"no decoder for codec {codec!r}")

@@ -177,13 +177,20 @@ class MKVWriter:
         t0 = self.tracks[track_idx]
         if annexb and t0.codec_id in ("V_MPEG4/ISO/AVC",
                                       "V_MPEGH/ISO/HEVC"):
-            from .nal import (annexb_to_avcc, build_avcc, extract_sps_pps,
+            from .nal import (annexb_to_avcc, build_avcc, build_hvcc,
+                              extract_sps_pps, extract_vps_sps_pps,
                               strip_parameter_sets)
-            if not t0.private and t0.codec_id == "V_MPEG4/ISO/AVC":
+            is_hevc = t0.codec_id == "V_MPEGH/ISO/HEVC"
+            if not t0.private and not is_hevc:
                 sps, pps = extract_sps_pps(data)
                 if sps and pps:
                     t0.private = build_avcc(sps, pps)
-            data = annexb_to_avcc(strip_parameter_sets(data))
+            elif not t0.private and is_hevc:
+                vps, sps, pps = extract_vps_sps_pps(data)
+                if vps and sps and pps:
+                    t0.private = build_hvcc(vps[0], sps[0], pps[0])
+            data = annexb_to_avcc(
+                strip_parameter_sets(data, "hevc" if is_hevc else "h264"))
         self._start()
         ts_ms = pts_90k // 90
         t = self.tracks[track_idx]

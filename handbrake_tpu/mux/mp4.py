@@ -114,7 +114,12 @@ class MP4Writer:
                 sps, pps = extract_sps_pps(data)
                 if sps and pps:
                     t.extradata = build_avcc(sps, pps)
-            data = annexb_to_avcc(strip_parameter_sets(data))
+            elif not t.extradata and t.codec == "hevc":
+                from .nal import build_hvcc, extract_vps_sps_pps
+                vps, sps, pps = extract_vps_sps_pps(data)
+                if vps and sps and pps:
+                    t.extradata = build_hvcc(vps[0], sps[0], pps[0])
+            data = annexb_to_avcc(strip_parameter_sets(data, t.codec))
         off = self.f.tell()
         self.f.write(data)
         t.samples.append(Sample(off, len(data), duration, sync, cts_offset))

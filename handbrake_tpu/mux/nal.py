@@ -69,15 +69,34 @@ def extract_sps_pps(data: bytes) -> tuple:
     return sps, pps
 
 
-def strip_parameter_sets(data: bytes) -> bytes:
-    """Remove SPS/PPS/AUD NALs (they live in avcC for mp4)."""
+def strip_parameter_sets(data: bytes, codec: str = "h264") -> bytes:
+    """Remove parameter-set/AUD NALs (they live in avcC/hvcC for mp4)."""
     out = bytearray()
     for nal in split_annexb(data):
-        t = nal[0] & 0x1F
-        if t in (7, 8, 9):
-            continue
+        if codec == "hevc":
+            t = (nal[0] >> 1) & 0x3F
+            if t in (32, 33, 34, 35):       # VPS/SPS/PPS/AUD
+                continue
+        else:
+            t = nal[0] & 0x1F
+            if t in (7, 8, 9):              # SPS/PPS/AUD
+                continue
         out += b"\x00\x00\x00\x01" + nal
     return bytes(out)
+
+
+def extract_vps_sps_pps(data: bytes) -> tuple:
+    """(vps_list, sps_list, pps_list) from an annex-B HEVC stream."""
+    vps, sps, pps = [], [], []
+    for nal in split_annexb(data):
+        t = (nal[0] >> 1) & 0x3F
+        if t == 32:
+            vps.append(nal)
+        elif t == 33:
+            sps.append(nal)
+        elif t == 34:
+            pps.append(nal)
+    return vps, sps, pps
 
 
 def build_avcc(sps_list: list, pps_list: list,
@@ -98,26 +117,27 @@ def build_avcc(sps_list: list, pps_list: list,
 
 def build_hvcc(vps: bytes, sps: bytes, pps: bytes,
                length_size: int = 4) -> bytes:
-    """hvcC payload (simplified: profile fields parsed from SPS assumed
-    Main; arrays carry VPS/SPS/PPS verbatim)."""
+    """hvcC payload (ISO/IEC 14496-15 8.3.3.1; hb_set_h265_extradata
+    analog, extradata.c). The general profile_tier_level (12 bytes) sits
+    byte-aligned at offset 3 of the SPS NAL (2-byte header + 1 byte of
+    sps_video_parameter_set_id/max_sub_layers/temporal_id_nesting), so it
+    is copied verbatim from the SPS our encoder emitted."""
+    ptl = sps[3:15] if len(sps) >= 15 else bytes(12)
     out = bytearray()
-    out += bytes([1])
-    # profile_space/tier/profile_idc + compat flags + constraints + level:
-    # conservative Main profile defaults; precise values come from the SPS
-    # when our HEVC encoder lands.
-    out += bytes([0x01])                      # main profile
-    out += struct.pack(">I", 0x60000000)      # compat flags
-    out += b"\x90\x00\x00\x00\x00\x00"        # constraint flags
-    out += bytes([0x5D])                      # level 3.1
-    out += struct.pack(">H", 0xF000)          # spatial seg idc
-    out += bytes([0xFC, 0xFD, 0xF8, 0xF8])    # chroma/bitdepth
-    out += struct.pack(">H", 0)               # avg frame rate
-    out += bytes([(length_size - 1) | 0x03 | 0x04 | 0x08 << 1])
-    out = out[:22]
-    out += bytes([0x0F | ((length_size - 1) << 0) | 0x80])
-    out += bytes([3])                         # num arrays
+    out += bytes([1])                         # configurationVersion
+    out += ptl                                # space/tier/idc, compat,
+    #                                           constraints, level_idc
+    out += struct.pack(">H", 0xF000)          # min_spatial_segmentation
+    out += bytes([0xFC])                      # parallelismType
+    out += bytes([0xFC | 1])                  # chromaFormat 4:2:0
+    out += bytes([0xF8])                      # bitDepthLumaMinus8
+    out += bytes([0xF8])                      # bitDepthChromaMinus8
+    out += struct.pack(">H", 0)               # avgFrameRate
+    # constantFrameRate=0, numTemporalLayers=1, temporalIdNested=1
+    out += bytes([(1 << 3) | (1 << 2) | (length_size - 1)])
+    out += bytes([3])                         # numOfArrays
     for t, nal in ((32, vps), (33, sps), (34, pps)):
-        out += bytes([0x80 | t])
+        out += bytes([0x80 | t])              # array_completeness=1
         out += struct.pack(">H", 1)
         out += struct.pack(">H", len(nal)) + nal
     return bytes(out)

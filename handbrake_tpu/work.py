@@ -44,15 +44,21 @@ def quality_to_qp(quality: float) -> int:
 
 def create_video_encoder(job: Job, width: int, height: int,
                          vrate: Fraction, interjob: Optional[dict] = None):
+    qp = quality_to_qp(job.quality if job.quality is not None else 26)
+    gop = max(1, int(round(float(vrate) * 10)))  # 10 s keyint, x264 dflt
+    backend = "device" if _device_ok() else "host"
     if job.vcodec in ("h264_tpu", "x264", "h264"):
         from .codecs.h264.encoder import EncoderConfig, H264Encoder
-        qp = quality_to_qp(job.quality if job.quality is not None else 26)
-        gop = max(1, int(round(float(vrate) * 10)))  # 10 s keyint, x264 dflt
         cfg = EncoderConfig(
             width=width, height=height, qp=qp, gop=gop,
-            fps=(vrate.numerator, vrate.denominator),
-            backend="device" if _device_ok() else "host")
+            fps=(vrate.numerator, vrate.denominator), backend=backend)
         return H264Encoder(cfg)
+    if job.vcodec in ("hevc_tpu", "x265", "hevc", "h265"):
+        from .codecs.hevc.encoder import EncoderConfig, HEVCEncoder
+        cfg = EncoderConfig(
+            width=width, height=height, qp=qp, gop=gop,
+            fps=(vrate.numerator, vrate.denominator), backend=backend)
+        return HEVCEncoder(cfg)
     raise WorkError(f"unknown video encoder {job.vcodec!r}")
 
 
@@ -281,11 +287,13 @@ class _MuxAdapter:
         self.aencs = aencs or {}
         path = job.file or "out.mp4"
         self._amap = {}
+        mux_vcodec = "hevc" if job.vcodec in (
+            "hevc_tpu", "x265", "hevc", "h265") else "h264"
         if self.kind in ("mkv", "webm"):
             from .mux.mkv import MKVWriter
             self.w = MKVWriter(path, webm=(self.kind == "webm"))
             self.vtrack = self.w.add_video_track(
-                codec="h264", width=out_fi.geometry.width,
+                codec=mux_vcodec, width=out_fi.geometry.width,
                 height=out_fi.geometry.height,
                 fps=float(out_fi.vrate))
             for si, spec in audio_sel:
@@ -306,7 +314,7 @@ class _MuxAdapter:
             from .mux.mp4 import MP4Writer
             self.w = MP4Writer(path)
             self.vtrack = self.w.add_video_track(
-                codec="h264", width=out_fi.geometry.width,
+                codec=mux_vcodec, width=out_fi.geometry.width,
                 height=out_fi.geometry.height)
             for si, spec in audio_sel:
                 ti = src.tracks[si]

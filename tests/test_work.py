@@ -84,6 +84,46 @@ def test_do_job_scaled_mkv(y4m_src, tmp_path):
     d.close()
 
 
+def test_do_job_hevc_mp4(y4m_src, tmp_path):
+    """HEVC encode path end-to-end: hvc1 track + hvcC, decodable by our
+    own HEVC decoder (2nd oracle: FFmpeg conformance in test_hevc_codec)."""
+    out = str(tmp_path / "out_hevc.mp4")
+    j = Job(path=y4m_src, file=out, mux="mp4", quality=30.0,
+            vcodec="hevc_tpu")
+    stats = work.do_job(j)
+    assert stats["frames_out"] == N
+    d = MP4Demuxer(out)
+    assert d.tracks[0].codec == "hevc"
+    assert (d.tracks[0].width, d.tracks[0].height) == (W, H)
+    assert d.tracks[0].extradata[:1] == b"\x01"   # hvcC version
+    dec = create_video_decoder("hevc", d.tracks[0].extradata)
+    frames = []
+    for _, b in d.packets():
+        frames.extend(dec.feed(b))
+    assert len(frames) == N
+    base = (np.add.outer(np.arange(H), np.arange(W)) * 3 % 256).astype(
+        np.uint8)
+    err = np.abs(np.asarray(frames[0].planes[0]).astype(int)
+                 - base.astype(int)).mean()
+    assert err < 12.0
+    d.close()
+
+
+def test_do_job_hevc_mkv(y4m_src, tmp_path):
+    out = str(tmp_path / "out_hevc.mkv")
+    j = Job(path=y4m_src, file=out, mux="mkv", quality=30.0, vcodec="x265")
+    stats = work.do_job(j)
+    assert stats["frames_out"] == N
+    d = MKVDemuxer(out)
+    assert d.tracks[0].codec == "hevc"
+    dec = create_video_decoder("hevc", d.tracks[0].extradata)
+    frames = []
+    for _, b in d.packets():
+        frames.extend(dec.feed(b))
+    assert len(frames) == N
+    d.close()
+
+
 def test_do_job_frame_range(y4m_src, tmp_path):
     out = str(tmp_path / "rng.mp4")
     j = Job(path=y4m_src, file=out, mux="mp4", quality=28.0,
