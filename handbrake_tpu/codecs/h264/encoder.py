@@ -321,10 +321,15 @@ class H264Encoder:
         return np.pad(plane.astype(np.int32),
                       ((0, Ht - h), (0, Wt - w)), mode="edge")
 
-    def encode_frame(self, y, u, v, analysis=None) -> bytes:
-        """Encode one frame (y: HxW, u/v: H/2 x W/2, uint8). Returns NALs."""
+    def encode_frame(self, y, u, v, analysis=None, qp=None) -> bytes:
+        """Encode one frame (y: HxW, u/v: H/2 x W/2, uint8). Returns NALs.
+        qp overrides cfg.qp for this frame (rate control; the slice
+        header carries slice_qp_delta so any per-frame value is legal)."""
         idr = (self.frame_idx % self.cfg.gop) == 0
         self.last_frame_was_idr = idr
+        qp = self.cfg.qp if qp is None else int(qp)
+        self.lm = self.cfg.lm if self.cfg.lm is not None \
+            else 0.85 * 2 ** ((qp - 12) / 3.0)
         out = b""
         if idr:
             out += self.headers()
@@ -333,20 +338,21 @@ class H264Encoder:
         up = self._pad_to_mb(u, 8)
         vp = self._pad_to_mb(v, 8)
         if not idr and self._analyzer is not None:
-            qpc = T.chroma_qp(self.cfg.qp, self.cfg.chroma_qp_offset)
+            qpc = T.chroma_qp(qp, self.cfg.chroma_qp_offset)
             dev = self._analyzer(yp, up, vp, self.recon_y, self.recon_u,
-                                 self.recon_v, self.cfg.qp, qpc)
+                                 self.recon_v, qp, qpc)
             payload = self._encode_slice_device(
-                yp, up, vp, {k: np.asarray(a) for k, a in dev.items()})
+                yp, up, vp, {k: np.asarray(a) for k, a in dev.items()}, qp)
         else:
-            payload = self._encode_slice(yp, up, vp, idr, analysis)
+            payload = self._encode_slice(yp, up, vp, idr, analysis, qp)
         out += payload
         self.frame_num = (self.frame_num + 1) % (1 << self.sps.log2_max_frame_num)
         self.frame_idx += 1
         return out
 
-    def _encode_slice(self, y, u, v, idr: bool, analysis=None) -> bytes:
-        qp = self.cfg.qp
+    def _encode_slice(self, y, u, v, idr: bool, analysis=None,
+                      qp=None) -> bytes:
+        qp = self.cfg.qp if qp is None else qp
         qpc = T.chroma_qp(qp, self.cfg.chroma_qp_offset)
         slice_type = SLICE_I if idr else SLICE_P
         hdr = SliceHeader(slice_type=slice_type, idr=idr,
@@ -523,7 +529,7 @@ class H264Encoder:
         return 0
 
     # -- device-assisted P slice ------------------------------------------
-    def _encode_slice_device(self, y, u, v, dev) -> bytes:
+    def _encode_slice_device(self, y, u, v, dev, qp=None) -> bytes:
         """Serial syntax walk over batched device analysis (encoder_tpu.py).
 
         Device supplies per-MB mv/levels/recon for the inter hypothesis; this
@@ -531,7 +537,7 @@ class H264Encoder:
         does the entropy coding — identical output semantics to the host
         path, so FFmpeg-conformance carries over.
         """
-        qp = self.cfg.qp
+        qp = self.cfg.qp if qp is None else qp
         qpc = T.chroma_qp(qp, self.cfg.chroma_qp_offset)
         hdr = SliceHeader(slice_type=SLICE_P, idr=False,
                           frame_num=self.frame_num, qp=qp,

@@ -224,8 +224,13 @@ class HEVCEncoder:
         return np.pad(plane.astype(np.int32), ((0, Ht - h), (0, Wt - w)),
                       mode="edge")
 
-    def encode_frame(self, y, u, v) -> bytes:
+    def encode_frame(self, y, u, v, qp=None) -> bytes:
+        """qp overrides cfg.qp for this frame (rate control; slice header
+        carries slice_qp_delta so any per-frame value is legal)."""
         idr = (self.frame_idx % self.cfg.gop) == 0
+        qp = self.cfg.qp if qp is None else int(qp)
+        self.lm = self.cfg.lm if self.cfg.lm is not None \
+            else 0.85 * 2 ** ((qp - 12) / 3.0)
         out = b""
         if idr:
             out += self.headers()
@@ -238,15 +243,15 @@ class HEVCEncoder:
             dev = self._analyzer(yp, up, vp, self.recon_y, self.recon_u,
                                  self.recon_v)
             dev = {k: np.asarray(a) for k, a in dev.items()}
-        out += self._encode_slice(yp, up, vp, idr, dev)
+        out += self._encode_slice(yp, up, vp, idr, dev, qp)
         self.frame_idx += 1
         self.poc = (self.poc + 1) % (1 << self.sps.log2_max_poc_lsb)
         self.last_frame_was_idr = idr
         return out
 
     # -- slice level ---------------------------------------------------------
-    def _encode_slice(self, y, u, v, idr: bool, dev=None) -> bytes:
-        qp = self.cfg.qp
+    def _encode_slice(self, y, u, v, idr: bool, dev=None, qp=None) -> bytes:
+        qp = self.cfg.qp if qp is None else qp
         stype = SLICE_I if idr else SLICE_P
         hdr = SliceHeader(slice_type=stype, idr=idr, poc_lsb=self.poc, qp=qp)
         bw = hdr.write(self.sps, self.pps)

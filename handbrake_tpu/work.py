@@ -148,12 +148,17 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
 
     # ---- encoders ----
     venc = create_video_encoder(job, out_w, out_h, out_vrate, job.interjob)
+    from .codecs.ratecontrol import make_rate_controller
+    rc = make_rate_controller(job, out_w, out_h, float(out_vrate))
     aencs = {}
     for si, spec in audio_sel:
         aencs[si] = _make_audio_encoder(spec, src.tracks[si])
 
-    # ---- muxer ----
-    mux = _MuxAdapter(job, out_fi, audio_sel, src, aencs)
+    # ---- muxer (analysis pass writes nowhere — x264 pass-1 analog) ----
+    if job.pass_id == 1:
+        mux = _NullMux()
+    else:
+        mux = _MuxAdapter(job, out_fi, audio_sel, src, aencs)
 
     # ---- streaming loop ----
     stats = {"frames_in": 0, "frames_out": 0, "bytes_out": 0}
@@ -180,20 +185,24 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
         elif trk in adecs:
             for ab in adecs[trk].feed(pkt):
                 sync.queue(a_sync[trk], ab)
-        _drain(sync, graph, venc, aencs, a_sync, mux, stats, progress)
+        _drain(sync, graph, venc, aencs, a_sync, mux, stats, progress, rc)
     # ---- flush ----
     for idx in range(len(sync.streams)):
         sync.set_eof(idx)
-    _drain(sync, graph, venc, aencs, a_sync, mux, stats, progress,
+    _drain(sync, graph, venc, aencs, a_sync, mux, stats, progress, rc,
            flush=True)
     mux.finalize()
+    if job.pass_id == 1:
+        # hand measured complexity to the final pass (hb_interjob_t role)
+        job.interjob["rc_stats"] = rc.stats
+        job.interjob["vrate_measured"] = float(out_vrate)
     if state is not None:
         state.update(progress=1.0)
     stats["width"], stats["height"] = out_w, out_h
     return stats
 
 
-def _drain(sync, graph, venc, aencs, a_sync, mux, stats, progress,
+def _drain(sync, graph, venc, aencs, a_sync, mux, stats, progress, rc,
            flush=False):
     out = sync.poll()
     if flush:
@@ -203,7 +212,7 @@ def _drain(sync, graph, venc, aencs, a_sync, mux, stats, progress,
             for fb in graph.work(buf):
                 if fb.is_eof():
                     continue
-                _encode_video(venc, fb, mux, stats, progress)
+                _encode_video(venc, fb, mux, stats, progress, rc)
         elif buf.track_kind == "audio":
             enc = aencs.get(buf.stream_id)
             if enc is not None:
@@ -211,7 +220,7 @@ def _drain(sync, graph, venc, aencs, a_sync, mux, stats, progress,
                     mux.write_audio(buf.stream_id, pkt)
     if flush:
         for fb in graph.flush():
-            _encode_video(venc, fb, mux, stats, progress)
+            _encode_video(venc, fb, mux, stats, progress, rc)
         for sid, enc in aencs.items():
             for pkt in enc.flush():
                 mux.write_audio(sid, pkt)
@@ -222,13 +231,29 @@ def _flush_tail(sync) -> list:
     return sync.poll()
 
 
-def _encode_video(venc, fb, mux, stats, progress):
+def _encode_video(venc, fb, mux, stats, progress, rc):
     y, u, v = (np.asarray(p) for p in fb.planes)
-    au = venc.encode_frame(y, u, v)
+    is_idr = (venc.frame_idx % venc.cfg.gop) == 0
+    qp = rc.frame_qp(is_idr)
+    au = venc.encode_frame(y, u, v, qp=qp)
+    rc.update(len(au) * 8, qp, venc.last_frame_was_idr)
     mux.write_video(au, fb, idr=venc.last_frame_was_idr)
     stats["frames_out"] += 1
     stats["bytes_out"] += len(au)
     progress.tick()
+
+
+class _NullMux:
+    """Sink for analysis passes (pass 1 writes no output file)."""
+
+    def write_video(self, au, fb, idr):
+        pass
+
+    def write_audio(self, sid, pkt):
+        pass
+
+    def finalize(self):
+        pass
 
 
 # ---------------------------------------------------------------------------
