@@ -118,6 +118,34 @@ class HEVCVideoDecoder(VideoDecoder):
         return dict(self._info)
 
 
+class AV1VideoDecoder(VideoDecoder):
+    def __init__(self, extradata: bytes = b""):
+        from .av1.decoder import AV1Decoder
+        self.dec = AV1Decoder()
+        if extradata and len(extradata) > 4:
+            # av1C: 4 config bytes then the sequence header OBU
+            self.dec.decode(extradata[4:])
+
+    def feed(self, buf: Buffer) -> list:
+        if buf.data is None:
+            return []
+        out = []
+        for (y, u, v) in self.dec.decode(buf.data):
+            fb = Buffer(planes=[y.astype("uint8"), u.astype("uint8"),
+                                v.astype("uint8")],
+                        pix_fmt=PIX_FMTS["yuv420p"]).copy_props(buf)
+            fb.data = None
+            out.append(fb)
+        return out
+
+    def info(self) -> dict:
+        if self.dec.seq:
+            return {"width": self.dec.seq["width"],
+                    "height": self.dec.seq["height"],
+                    "pix_fmt": "yuv420p"}
+        return {}
+
+
 class RawVideoDecoder(VideoDecoder):
     """Identity: sources like y4m already yield raw frames."""
 
@@ -130,6 +158,8 @@ def create_video_decoder(codec: str, extradata: bytes = b"") -> VideoDecoder:
         return H264VideoDecoder(extradata)
     if codec == "hevc":
         return HEVCVideoDecoder(extradata)
+    if codec == "av1":
+        return AV1VideoDecoder(extradata)
     if codec == "rawvideo":
         return RawVideoDecoder()
     raise ValueError(f"no decoder for codec {codec!r}")

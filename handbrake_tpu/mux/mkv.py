@@ -191,6 +191,13 @@ class MKVWriter:
                     t0.private = build_hvcc(vps[0], sps[0], pps[0])
             data = annexb_to_avcc(
                 strip_parameter_sets(data, "hevc" if is_hevc else "h264"))
+        if t0.codec_id == "V_AV1" and not t0.private:
+            from ..codecs.av1 import obu as av1_obu
+            for ot, payload in av1_obu.parse_obus(data):
+                if ot == av1_obu.OBU_SEQUENCE_HEADER:
+                    t0.private = av1_obu.build_av1c(
+                        av1_obu.obu(ot, payload))
+                    break
         self._start()
         ts_ms = pts_90k // 90
         t = self.tracks[track_idx]

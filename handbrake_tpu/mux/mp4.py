@@ -120,6 +120,13 @@ class MP4Writer:
                 if vps and sps and pps:
                     t.extradata = build_hvcc(vps[0], sps[0], pps[0])
             data = annexb_to_avcc(strip_parameter_sets(data, t.codec))
+        if t.codec == "av1" and not t.extradata:
+            from ..codecs.av1 import obu as av1_obu
+            for ot, payload in av1_obu.parse_obus(data):
+                if ot == av1_obu.OBU_SEQUENCE_HEADER:
+                    t.extradata = av1_obu.build_av1c(
+                        av1_obu.obu(ot, payload))
+                    break
         off = self.f.tell()
         self.f.write(data)
         t.samples.append(Sample(off, len(data), duration, sync, cts_offset))

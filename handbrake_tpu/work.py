@@ -59,6 +59,12 @@ def create_video_encoder(job: Job, width: int, height: int,
             width=width, height=height, qp=qp, gop=gop,
             fps=(vrate.numerator, vrate.denominator), backend=backend)
         return HEVCEncoder(cfg)
+    if job.vcodec in ("av1_tpu", "svt_av1", "av1"):
+        from .codecs.av1.encoder import AV1Encoder, EncoderConfig
+        cfg = EncoderConfig(
+            width=width, height=height, qp=qp, gop=gop,
+            fps=(vrate.numerator, vrate.denominator), backend=backend)
+        return AV1Encoder(cfg)
     raise WorkError(f"unknown video encoder {job.vcodec!r}")
 
 
@@ -312,8 +318,12 @@ class _MuxAdapter:
         self.aencs = aencs or {}
         path = job.file or "out.mp4"
         self._amap = {}
-        mux_vcodec = "hevc" if job.vcodec in (
-            "hevc_tpu", "x265", "hevc", "h265") else "h264"
+        if job.vcodec in ("hevc_tpu", "x265", "hevc", "h265"):
+            mux_vcodec = "hevc"
+        elif job.vcodec in ("av1_tpu", "svt_av1", "av1"):
+            mux_vcodec = "av1"
+        else:
+            mux_vcodec = "h264"
         if self.kind in ("mkv", "webm"):
             from .mux.mkv import MKVWriter
             self.w = MKVWriter(path, webm=(self.kind == "webm"))
