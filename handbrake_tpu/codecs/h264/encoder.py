@@ -308,6 +308,14 @@ class H264Encoder:
         if cfg.backend == "device":
             from .encoder_tpu import build_p_analyzer
             self._analyzer = build_p_analyzer(self.mb_w, self.mb_h)
+        # native (C++) serial stage: CAVLC walk + NAL packing. Bit-exact
+        # vs the Python paths below (tests/test_native.py); HBTPU_NATIVE=0
+        # disables it.
+        try:
+            from ...native import get_lib
+            self._natlib = get_lib()
+        except Exception:
+            self._natlib = None
 
     # -- frame-level -------------------------------------------------------
     def headers(self) -> bytes:
@@ -350,10 +358,112 @@ class H264Encoder:
         self.frame_idx += 1
         return out
 
+    # -- native (C++) fast paths --------------------------------------------
+    def _nal(self, ref_idc: int, ntype: int, rbsp: bytes) -> bytes:
+        if self._natlib is not None:
+            import ctypes
+            inb = np.frombuffer(rbsp, np.uint8)
+            out = np.empty(len(rbsp) + len(rbsp) // 2 + 8, np.uint8)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            n = self._natlib.hb264_rbsp_to_ebsp(
+                inb.ctypes.data_as(u8p), len(rbsp),
+                out.ctypes.data_as(u8p), out.size)
+            if n >= 0:
+                return (b"\x00\x00\x00\x01"
+                        + bytes([(ref_idc << 5) | ntype])
+                        + out[:n].tobytes())
+        from .bits import nal_unit
+        return nal_unit(ref_idc, ntype, rbsp)
+
+    @staticmethod
+    def _u8p(arr):
+        import ctypes
+        return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    @staticmethod
+    def _i32p(arr):
+        import ctypes
+        return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    def _native_i_slice(self, y, u, v, qp, qpc, hdr_bw) -> bytes:
+        sy = np.ascontiguousarray(y.astype(np.uint8))
+        su = np.ascontiguousarray(u.astype(np.uint8))
+        sv = np.ascontiguousarray(v.astype(np.uint8))
+        ry = np.zeros_like(sy)
+        ru = np.zeros_like(su)
+        rv = np.zeros_like(sv)
+        cap = self.mb_w * self.mb_h * 900 + len(hdr_bw._bytes) + 64
+        out = np.empty(cap, np.uint8)
+        hdr = np.frombuffer(bytes(hdr_bw._bytes), np.uint8)
+        n = self._natlib.hb264_encode_i_slice(
+            self.mb_w, self.mb_h, qp, qpc,
+            self._u8p(hdr), hdr.size, hdr_bw._cur, hdr_bw._nbits,
+            self._u8p(sy), self._u8p(su), self._u8p(sv),
+            self._u8p(ry), self._u8p(ru), self._u8p(rv),
+            self._u8p(out), cap)
+        if n < 0:
+            return None
+        self.recon_y, self.recon_u, self.recon_v = ry, ru, rv
+        return self._nal(3, NAL_IDR, out[:n].tobytes())
+
+    def _native_p_slice(self, y, u, v, dev, qp, qpc, hdr_bw) -> bytes:
+        import ctypes
+        sy = np.ascontiguousarray(y.astype(np.uint8))
+        su = np.ascontiguousarray(u.astype(np.uint8))
+        sv = np.ascontiguousarray(v.astype(np.uint8))
+        # recon planes are pre-filled with the device recon; the walker
+        # patches intra-fallback MBs only
+        ry = np.array(np.asarray(dev["recon_y"], np.uint8), copy=True)
+        ru = np.array(np.asarray(dev["urec"], np.uint8), copy=True)
+        rv = np.array(np.asarray(dev["vrec"], np.uint8), copy=True)
+        cap = self.mb_w * self.mb_h * 900 + len(hdr_bw._bytes) + 64
+        out = np.empty(cap, np.uint8)
+        hdr = np.frombuffer(bytes(hdr_bw._bytes), np.uint8)
+
+        def arr(name, dt):
+            return np.ascontiguousarray(np.asarray(dev[name], dt))
+
+        def i16p(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+
+        def i8p(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+
+        mv = arr("mv", np.int16)
+        sad = arr("sad", np.int32)
+        luma_lv = arr("luma_lv", np.int16)
+        cbp_luma = arr("cbp_luma", np.int8)
+        udc, vdc = arr("udc", np.int16), arr("vdc", np.int16)
+        uac, vac = arr("uac", np.int16), arr("vac", np.int16)
+        unnz, vnnz = arr("unnz", np.int8), arr("vnnz", np.int8)
+        n = self._natlib.hb264_encode_p_slice(
+            self.mb_w, self.mb_h, qp, qpc, 20 * 256,
+            self._u8p(hdr), hdr.size, hdr_bw._cur, hdr_bw._nbits,
+            self._u8p(sy), self._u8p(su), self._u8p(sv),
+            i16p(mv), self._i32p(sad),
+            i16p(luma_lv), i8p(cbp_luma),
+            i16p(udc), i16p(vdc), i16p(uac), i16p(vac),
+            i8p(unnz), i8p(vnnz),
+            self._u8p(ry), self._u8p(ru), self._u8p(rv),
+            self._u8p(out), cap)
+        if n < 0:
+            return None
+        self.recon_y, self.recon_u, self.recon_v = ry, ru, rv
+        return self._nal(3, NAL_SLICE, out[:n].tobytes())
+
     def _encode_slice(self, y, u, v, idr: bool, analysis=None,
                       qp=None) -> bytes:
         qp = self.cfg.qp if qp is None else qp
         qpc = T.chroma_qp(qp, self.cfg.chroma_qp_offset)
+        if idr and analysis is None and self._natlib is not None:
+            hdr = SliceHeader(slice_type=SLICE_I, idr=True, frame_num=0,
+                              idr_pic_id=self.idr_pic_id, qp=qp,
+                              disable_deblocking=1)
+            payload = self._native_i_slice(y, u, v, qp, qpc,
+                                           hdr.write(self.sps, self.pps))
+            if payload is not None:
+                self.idr_pic_id = (self.idr_pic_id + 1) % 16
+                return payload
         slice_type = SLICE_I if idr else SLICE_P
         hdr = SliceHeader(slice_type=slice_type, idr=idr,
                           frame_num=0 if idr else self.frame_num,
@@ -542,6 +652,11 @@ class H264Encoder:
         hdr = SliceHeader(slice_type=SLICE_P, idr=False,
                           frame_num=self.frame_num, qp=qp,
                           disable_deblocking=1)
+        if self._natlib is not None:
+            payload = self._native_p_slice(y, u, v, dev, qp, qpc,
+                                           hdr.write(self.sps, self.pps))
+            if payload is not None:
+                return payload
         bw = hdr.write(self.sps, self.pps)
         ctx = MBCtx(self.mb_w, self.mb_h)
         new_y = np.zeros_like(y)
@@ -590,9 +705,12 @@ class H264Encoder:
 
                 skip_mv_ = P.skip_mv(ctx.mvs, ctx.refs, mbx, mby, self.mb_w)
                 if cbp == 0 and mv == tuple(skip_mv_):
-                    new_y[y0:y0 + 16, x0:x0 + 16] = dev["recon_y"][i]
-                    new_u[cy0:cy0 + 8, cx0:cx0 + 8] = dev["urec"][i]
-                    new_v[cy0:cy0 + 8, cx0:cx0 + 8] = dev["vrec"][i]
+                    new_y[y0:y0 + 16, x0:x0 + 16] = \
+                        dev["recon_y"][y0:y0 + 16, x0:x0 + 16]
+                    new_u[cy0:cy0 + 8, cx0:cx0 + 8] = \
+                        dev["urec"][cy0:cy0 + 8, cx0:cx0 + 8]
+                    new_v[cy0:cy0 + 8, cx0:cx0 + 8] = \
+                        dev["vrec"][cy0:cy0 + 8, cx0:cx0 + 8]
                     ctx.mvs[(mbx, mby)] = mv
                     ctx.refs[(mbx, mby)] = 0
                     skip_run += 1
@@ -617,9 +735,12 @@ class H264Encoder:
                     bw, ctx, mbx, mby, cbp_chroma,
                     [int(x) for x in dev["udc"][i]], dev["uac"][i], None,
                     [int(x) for x in dev["vdc"][i]], dev["vac"][i], None)
-                new_y[y0:y0 + 16, x0:x0 + 16] = dev["recon_y"][i]
-                new_u[cy0:cy0 + 8, cx0:cx0 + 8] = dev["urec"][i]
-                new_v[cy0:cy0 + 8, cx0:cx0 + 8] = dev["vrec"][i]
+                new_y[y0:y0 + 16, x0:x0 + 16] = \
+                    dev["recon_y"][y0:y0 + 16, x0:x0 + 16]
+                new_u[cy0:cy0 + 8, cx0:cx0 + 8] = \
+                    dev["urec"][cy0:cy0 + 8, cx0:cx0 + 8]
+                new_v[cy0:cy0 + 8, cx0:cx0 + 8] = \
+                    dev["vrec"][cy0:cy0 + 8, cx0:cx0 + 8]
                 ctx.mvs[(mbx, mby)] = mv
                 ctx.refs[(mbx, mby)] = 0
         if skip_run > 0:

@@ -393,15 +393,26 @@ def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None):
         udc, uac, urec, unnz = chroma(src_u, wu)
         vdc, vac, vrec, vnnz = chroma(src_v, wv)
 
+        # Assemble recon planes on device and compact dtypes: host↔device
+        # transfer is the pipeline's bandwidth bottleneck (the reference's
+        # hwaccel upload/download analog, hwaccel.c:15), so levels travel
+        # as int16, counts as int8, recon as uint8 planes.
+        def plane(blocks, bs):
+            return (blocks.reshape(mb_h, mb_w, bs, bs)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(mb_h * bs, mb_w * bs).astype(jnp.uint8))
+
         return {
-            "mv": jnp.stack([mvx, mvy], 1),
-            "sad": sad_best,
-            "luma_lv": lv,
-            "luma_nnz": nnz,
-            "cbp_luma": cbp_luma,
-            "recon_y": recon_y,
-            "udc": udc, "uac": uac, "urec": urec, "unnz": unnz,
-            "vdc": vdc, "vac": vac, "vrec": vrec, "vnnz": vnnz,
+            "mv": jnp.stack([mvx, mvy], 1).astype(jnp.int16),
+            "sad": sad_best.astype(jnp.int32),
+            "luma_lv": lv.astype(jnp.int16),
+            "luma_nnz": nnz.astype(jnp.int8),
+            "cbp_luma": cbp_luma.astype(jnp.int8),
+            "recon_y": plane(recon_y, 16),
+            "udc": udc.astype(jnp.int16), "uac": uac.astype(jnp.int16),
+            "urec": plane(urec, 8), "unnz": unnz.astype(jnp.int8),
+            "vdc": vdc.astype(jnp.int16), "vac": vac.astype(jnp.int16),
+            "vrec": plane(vrec, 8), "vnnz": vnnz.astype(jnp.int8),
         }
 
     return analyze
