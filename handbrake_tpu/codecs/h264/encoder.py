@@ -282,8 +282,29 @@ _CODED_ORDER = np.array([0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15])
 _CODED_ORDER_C = np.array([0, 1, 2, 3])
 
 
+class _Pending:
+    """In-flight frame: device analysis dispatched, entropy not yet done."""
+    __slots__ = ("kind", "done_bytes", "dev", "qp", "qpc", "src",
+                 "packed_src", "refs", "redo_refs", "frame_num")
+
+    def __init__(self):
+        self.kind = "done"
+        self.done_bytes = b""
+        self.dev = None
+        self.redo_refs = None
+
+
 class H264Encoder:
-    """Stateful one-ref H.264 encoder. encode_frame() → annex-B bytes."""
+    """Stateful one-ref H.264 encoder. encode_frame() → annex-B bytes.
+
+    Pipelined use (overlaps TPU analysis of frame N+1 with host entropy
+    coding of frame N — the fifo/work-loop overlap of work.c:2434 expressed
+    as async device dispatch):
+
+        p0 = enc.begin_frame(y0, u0, v0)
+        p1 = enc.begin_frame(y1, u1, v1)   # device starts frame 1
+        out0 = enc.finish_frame(p0)         # host packs frame 0 bits
+    """
 
     def __init__(self, cfg: EncoderConfig):
         self.cfg = cfg
@@ -304,6 +325,9 @@ class H264Encoder:
         self.recon_u = None
         self.recon_v = None
         self.lm = cfg.lm if cfg.lm is not None else 0.85 * 2 ** ((cfg.qp - 12) / 3.0)
+        import collections
+        self._queue = collections.deque()   # in-flight begin_frame order
+        self._nch_guess = 8                 # payload chunks likely needed
         self._analyzer = None
         if cfg.backend == "device":
             from .encoder_tpu import build_p_analyzer
@@ -325,14 +349,20 @@ class H264Encoder:
         Ht, Wt = self.mb_h * mbsize, self.mb_w * mbsize
         h, w = plane.shape
         if (h, w) == (Ht, Wt):
-            return plane.astype(np.int32)
-        return np.pad(plane.astype(np.int32),
+            return np.ascontiguousarray(plane, np.uint8)
+        return np.pad(plane.astype(np.uint8),
                       ((0, Ht - h), (0, Wt - w)), mode="edge")
 
     def encode_frame(self, y, u, v, analysis=None, qp=None) -> bytes:
         """Encode one frame (y: HxW, u/v: H/2 x W/2, uint8). Returns NALs.
         qp overrides cfg.qp for this frame (rate control; the slice
         header carries slice_qp_delta so any per-frame value is legal)."""
+        return self.finish_frame(self.begin_frame(y, u, v, analysis, qp))
+
+    def begin_frame(self, y, u, v, analysis=None, qp=None):
+        """Dispatch frame analysis. IDR / host-backend frames are encoded
+        immediately (host-native I slice); device P frames return with the
+        TPU analysis in flight. Call finish_frame() in FIFO order."""
         idr = (self.frame_idx % self.cfg.gop) == 0
         self.last_frame_was_idr = idr
         qp = self.cfg.qp if qp is None else int(qp)
@@ -345,18 +375,62 @@ class H264Encoder:
         yp = self._pad_to_mb(y, 16)
         up = self._pad_to_mb(u, 8)
         vp = self._pad_to_mb(v, 8)
+        p = _Pending()
+        p.qp = qp
+        p.frame_num = self.frame_num
         if not idr and self._analyzer is not None:
-            qpc = T.chroma_qp(qp, self.cfg.chroma_qp_offset)
-            dev = self._analyzer(yp, up, vp, self.recon_y, self.recon_u,
-                                 self.recon_v, qp, qpc)
-            payload = self._encode_slice_device(
-                yp, up, vp, {k: np.asarray(a) for k, a in dev.items()}, qp)
+            p.kind = "p"
+            p.qpc = T.chroma_qp(qp, self.cfg.chroma_qp_offset)
+            p.src = (yp, up, vp)
+            p.refs = (self.recon_y, self.recon_u, self.recon_v)
+            # one host→device transfer per frame (planes packed)
+            p.packed_src = np.concatenate([yp.ravel(), up.ravel(),
+                                           vp.ravel()])
+            p.dev = self._analyzer(p.packed_src, *p.refs, qp, p.qpc)
+            p.done_bytes = out
+            # eagerly start the device→host copy of the walker metadata
+            p.dev["packed_small"].copy_to_host_async()
+            # next frame's reference = this frame's device recon (lazy; the
+            # chain stays on device, hwaccel zero-copy style)
+            self.recon_y = p.dev["recon_y"]
+            self.recon_u = p.dev["urec"]
+            self.recon_v = p.dev["vrec"]
         else:
-            payload = self._encode_slice(yp, up, vp, idr, analysis, qp)
-        out += payload
+            p.done_bytes = out + self._encode_slice(yp, up, vp, idr,
+                                                    analysis, qp)
         self.frame_num = (self.frame_num + 1) % (1 << self.sps.log2_max_frame_num)
         self.frame_idx += 1
-        return out
+        self._queue.append(p)
+        return p
+
+    def finish_frame(self, p) -> bytes:
+        """Entropy-code a begun frame. Must be called in begin order."""
+        assert self._queue and self._queue[0] is p, "finish order must be FIFO"
+        self._queue.popleft()
+        if p.kind == "done":
+            return p.done_bytes
+        if p.redo_refs is not None:
+            # a predecessor patched the reference this analysis consumed
+            # (intra fallback after dispatch) — re-run against the fix
+            old = p.dev
+            p.refs = p.redo_refs
+            p.dev = self._analyzer(p.packed_src, *p.refs, p.qp, p.qpc)
+            self._propagate_refs(old, (p.dev["recon_y"], p.dev["urec"],
+                                       p.dev["vrec"]))
+        return p.done_bytes + self._encode_slice_device(
+            p.src[0], p.src[1], p.src[2], p.dev, p.qp,
+            frame_num=p.frame_num)
+
+    def _propagate_refs(self, old_dev, new_refs):
+        """Re-point everything that referenced old_dev's recon arrays."""
+        for q in self._queue:
+            if q.kind == "p" and q.refs[0] is old_dev["recon_y"]:
+                # keep q.refs current so a later propagation (e.g. the
+                # re-dispatched frame itself getting patched) still matches
+                q.refs = new_refs
+                q.redo_refs = new_refs
+        if self.recon_y is old_dev["recon_y"]:
+            self.recon_y, self.recon_u, self.recon_v = new_refs
 
     # -- native (C++) fast paths --------------------------------------------
     def _nal(self, ref_idc: int, ntype: int, rbsp: bytes) -> bytes:
@@ -406,22 +480,64 @@ class H264Encoder:
         self.recon_y, self.recon_u, self.recon_v = ry, ru, rv
         return self._nal(3, NAL_IDR, out[:n].tobytes())
 
-    def _native_p_slice(self, y, u, v, dev, qp, qpc, hdr_bw) -> bytes:
+    def _parse_packed(self, buf, n_mb, cap):
+        """Decode encoder_tpu's packed_small byte buffer (single D2H
+        transfer) into the walker's per-MB arrays."""
+        buf = np.ascontiguousarray(buf, np.uint8)
+        out = {}
+        hdr = np.frombuffer(buf, np.int32, 3, 0)
+        out["n_intra"], out["n_coded"], out["overflow"] = (int(x) for x in hdr)
+        off = 12
+        out["mv"] = np.frombuffer(buf, np.int16, n_mb * 2, off).reshape(
+            n_mb, 2)
+        off += n_mb * 4
+        out["sad"] = np.frombuffer(buf, np.int32, n_mb, off)
+        off += n_mb * 4
+        out["cbp_luma"] = np.frombuffer(buf, np.int8, n_mb, off)
+        off += n_mb
+        out["unnz"] = np.frombuffer(buf, np.int8, n_mb * 4, off).reshape(
+            n_mb, 4)
+        off += n_mb * 4
+        out["vnnz"] = np.frombuffer(buf, np.int8, n_mb * 4, off).reshape(
+            n_mb, 4)
+        off += n_mb * 4
+        idx_dt = np.int16 if n_mb <= 32767 else np.int32
+        out["coded_idx"] = np.frombuffer(buf, idx_dt, cap, off)
+        return out
+
+    def _dummy_recon(self):
+        """Zero planes handed to the native walker when no MB can take the
+        intra-fallback path (n_intra == 0): the walker provably never reads
+        or writes them, so the device recon never crosses the host boundary.
+        """
+        if getattr(self, "_dummy_rec", None) is None:
+            H, W = self.mb_h * 16, self.mb_w * 16
+            self._dummy_rec = (np.zeros((H, W), np.uint8),
+                               np.zeros((H // 2, W // 2), np.uint8),
+                               np.zeros((H // 2, W // 2), np.uint8))
+        return self._dummy_rec
+
+    def _native_p_slice(self, y, u, v, small, dev, n_intra, qp, qpc,
+                        hdr_bw) -> bytes:
         import ctypes
-        sy = np.ascontiguousarray(y.astype(np.uint8))
-        su = np.ascontiguousarray(u.astype(np.uint8))
-        sv = np.ascontiguousarray(v.astype(np.uint8))
-        # recon planes are pre-filled with the device recon; the walker
-        # patches intra-fallback MBs only
-        ry = np.array(np.asarray(dev["recon_y"], np.uint8), copy=True)
-        ru = np.array(np.asarray(dev["urec"], np.uint8), copy=True)
-        rv = np.array(np.asarray(dev["vrec"], np.uint8), copy=True)
+        import jax
+        from .encoder_tpu import INTRA_THRESH
+        sy = np.ascontiguousarray(y, np.uint8)
+        su = np.ascontiguousarray(u, np.uint8)
+        sv = np.ascontiguousarray(v, np.uint8)
+        if n_intra > 0:
+            # recon planes pre-filled with the device recon; the walker
+            # patches intra-fallback MBs in place
+            ry, ru, rv = (np.array(x, np.uint8) for x in jax.device_get(
+                (dev["recon_y"], dev["urec"], dev["vrec"])))
+        else:
+            ry, ru, rv = self._dummy_recon()
         cap = self.mb_w * self.mb_h * 900 + len(hdr_bw._bytes) + 64
         out = np.empty(cap, np.uint8)
         hdr = np.frombuffer(bytes(hdr_bw._bytes), np.uint8)
 
         def arr(name, dt):
-            return np.ascontiguousarray(np.asarray(dev[name], dt))
+            return np.ascontiguousarray(small[name], dt)
 
         def i16p(a):
             return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
@@ -437,7 +553,7 @@ class H264Encoder:
         uac, vac = arr("uac", np.int16), arr("vac", np.int16)
         unnz, vnnz = arr("unnz", np.int8), arr("vnnz", np.int8)
         n = self._natlib.hb264_encode_p_slice(
-            self.mb_w, self.mb_h, qp, qpc, 20 * 256,
+            self.mb_w, self.mb_h, qp, qpc, INTRA_THRESH,
             self._u8p(hdr), hdr.size, hdr_bw._cur, hdr_bw._nbits,
             self._u8p(sy), self._u8p(su), self._u8p(sv),
             i16p(mv), self._i32p(sad),
@@ -448,7 +564,12 @@ class H264Encoder:
             self._u8p(out), cap)
         if n < 0:
             return None
-        self.recon_y, self.recon_u, self.recon_v = ry, ru, rv
+        if n_intra > 0:
+            # intra-fallback MBs were patched into the host recon copy —
+            # re-point the reference chain (in-flight analyses re-dispatch)
+            self._propagate_refs(dev, (ry, ru, rv))
+        # else: the reference stays on device untouched (begin_frame already
+        # chained it — hwaccel.c:15 zero-copy analog)
         return self._nal(3, NAL_SLICE, out[:n].tobytes())
 
     def _encode_slice(self, y, u, v, idr: bool, analysis=None,
@@ -639,34 +760,78 @@ class H264Encoder:
         return 0
 
     # -- device-assisted P slice ------------------------------------------
-    def _encode_slice_device(self, y, u, v, dev, qp=None) -> bytes:
+    def _encode_slice_device(self, y, u, v, dev, qp=None,
+                             frame_num=None) -> bytes:
         """Serial syntax walk over batched device analysis (encoder_tpu.py).
 
         Device supplies per-MB mv/levels/recon for the inter hypothesis; this
         walk makes the exact skip decision, the (rare) intra fallback, and
         does the entropy coding — identical output semantics to the host
-        path, so FFmpeg-conformance carries over.
+        path, so FFmpeg-conformance carries over. Levels arrive through the
+        compact int8 payload (coded MBs only, fetched chunk-by-chunk); the
+        full int16 arrays are the fallback for level overflow / dense frames.
         """
+        import jax
         qp = self.cfg.qp if qp is None else qp
         qpc = T.chroma_qp(qp, self.cfg.chroma_qp_offset)
+        frame_num = self.frame_num if frame_num is None else frame_num
         hdr = SliceHeader(slice_type=SLICE_P, idr=False,
-                          frame_num=self.frame_num, qp=qp,
+                          frame_num=frame_num, qp=qp,
                           disable_deblocking=1)
+        n_mb = self.mb_w * self.mb_h
+        per = dev["payload"][0].shape[0]
+        n_chunks = len(dev["payload"])
+        # ONE device_get round trip (~20 ms each over the tunnel): packed
+        # metadata + the payload chunks we expect to need (previous frame's
+        # coded count is the estimate; missing chunks fetched in a rare
+        # second trip)
+        guess = min(n_chunks, self._nch_guess)
+        got = jax.device_get([dev["packed_small"]]
+                             + [dev["payload"][c] for c in range(guess)])
+        small = self._parse_packed(got[0], n_mb, per * n_chunks)
+        chunks = got[1:]
+        n_intra = int(small["n_intra"])
+        n_coded = int(small["n_coded"])
+        if int(small["overflow"]) or n_coded > per * n_chunks:
+            full = jax.device_get({k: dev[k] for k in
+                                   ("luma_lv", "udc", "uac", "vdc", "vac")})
+            for k, a in full.items():
+                small[k] = np.ascontiguousarray(a, np.int16)
+            self._nch_guess = n_chunks
+        else:
+            nch = -(-n_coded // per) if n_coded else 0
+            if nch > guess:
+                chunks += jax.device_get(
+                    [dev["payload"][c] for c in range(guess, nch)])
+            self._nch_guess = min(n_chunks, nch + 1)
+            pay = np.zeros((n_mb, 392), np.int16)
+            if nch:
+                pay[small["coded_idx"][:n_coded]] = \
+                    np.concatenate(chunks[:nch])[:n_coded]
+            small["luma_lv"] = pay[:, :256].reshape(n_mb, 16, 4, 4)
+            small["udc"] = pay[:, 256:260]
+            small["uac"] = pay[:, 260:324].reshape(n_mb, 4, 4, 4)
+            small["vdc"] = pay[:, 324:328]
+            small["vac"] = pay[:, 328:392].reshape(n_mb, 4, 4, 4)
         if self._natlib is not None:
-            payload = self._native_p_slice(y, u, v, dev, qp, qpc,
+            payload = self._native_p_slice(y, u, v, small, dev, n_intra,
+                                           qp, qpc,
                                            hdr.write(self.sps, self.pps))
             if payload is not None:
                 return payload
+        # pure-python fallback consumes host copies of everything
+        recs = jax.device_get((dev["recon_y"], dev["urec"], dev["vrec"]))
+        devj = dev
+        dev = dict(small)
+        dev["recon_y"], dev["urec"], dev["vrec"] = recs
         bw = hdr.write(self.sps, self.pps)
         ctx = MBCtx(self.mb_w, self.mb_h)
         new_y = np.zeros_like(y)
         new_u = np.zeros_like(u)
         new_v = np.zeros_like(v)
-        ref_y = P.pad_plane(self.recon_y, PAD)
-        ref_u = P.pad_plane(self.recon_u, PAD)
-        ref_v = P.pad_plane(self.recon_v, PAD)
         # intra fallback when inter SAD is poor (device gives the SAD)
-        intra_thresh = 20.0 * 256
+        from .encoder_tpu import INTRA_THRESH
+        intra_thresh = float(INTRA_THRESH)
 
         skip_run = 0
         for mby in range(self.mb_h):
@@ -746,7 +911,9 @@ class H264Encoder:
         if skip_run > 0:
             bw.ue(skip_run)
         bw.rbsp_trailing()
-        self.recon_y, self.recon_u, self.recon_v = new_y, new_u, new_v
+        # recon differs from the device planes only at intra-fallback MBs;
+        # re-point in-flight analyses that consumed the device recon
+        self._propagate_refs(devj, (new_y, new_u, new_v))
         from .bits import nal_unit
         return nal_unit(3, NAL_SLICE, bw.get_rbsp())
 

@@ -2,20 +2,24 @@
 
 Architecture (chosen after profiling on TPU v5e):
   * XLA's generic gather is ~12 ns/element on TPU — unusable for per-MB
-    motion windows (28 gathers ≈ 700 ms/frame at 1080p). A tiny Pallas
-    kernel replaces it: per MB-row it DMAs a reference strip HBM→VMEM and
-    slices per-MB search windows out of VMEM (dynamic VMEM slicing is what
-    the hardware is actually good at).
+    motion windows (28 gathers ≈ 700 ms/frame at 1080p). Instead, per-MB
+    search windows are extracted gather-free: overlapping strips come from
+    shifted *block views* (reshape + concat — pure address arithmetic for
+    XLA), and the per-MB dynamic origin inside each 80x80 subwindow is
+    resolved by one-hot selector matmuls on the MXU (bf16 one-hots are
+    exact for 0..255 pixel data).
   * Everything downstream operates on the batched (nMB, …) window arrays
     with *static* slices, one-hot selects, and einsum transforms — all
-    VPU/MXU-friendly, no gathers.
+    VPU/MXU-friendly, no gathers, no data-dependent shapes. The graph is
+    O(100) HLO ops, so 1080p compiles in seconds (the round-1 version
+    stacked mb_h+mb_w Python slices and took minutes).
   * Sub-pel interpolation (6-tap 8.4.2.2) is recomputed per-window on the
     VPU instead of materialising 16 phase planes — arithmetic is identical
     to predict.mc_luma_block (asserted in tests).
   * qp is traced: rate control never triggers recompiles.
 
 Host entropy coding consumes the resulting arrays (encoder.py
-_encode_slice_device).
+_encode_slice_device / native/hb264.cpp).
 """
 from __future__ import annotations
 
@@ -23,8 +27,6 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from .tables import MF4x4, V4x4, QBITS_BASE
 
@@ -34,6 +36,17 @@ REFINE_R = 3      # full-pel refine radius
 WIN = 32          # luma window size (16 + 2*8 margin)
 CWIN = 16         # chroma window size (8 + 1 bilinear + 5 offset range + pad)
 MV_CLAMP = 22     # |full-pel mv| bound; keeps every access inside the pads
+INTRA_THRESH = 20 * 256   # inter SAD above which the host tries intra
+PAYLOAD_CHUNKS = 8        # compact-payload buckets fetched on demand
+
+
+def _payload_cap(n_mb: int) -> int:
+    """Compact-payload capacity: half the MBs (rounded to whole chunks),
+    but never below min(n_mb, 64) so tiny test frames don't always fall
+    back to the full int16 fetch."""
+    want = max(n_mb // 2, min(n_mb, 64))
+    per = (want + PAYLOAD_CHUNKS - 1) // PAYLOAD_CHUNKS
+    return per * PAYLOAD_CHUNKS
 
 
 # ---------------------------------------------------------------------------
@@ -111,10 +124,6 @@ def _from_blocks4(b, H, W):
     return x.reshape(*lead, H, W)
 
 
-def _lanes(n, m=128):
-    return ((n + m - 1) // m) * m
-
-
 # ---------------------------------------------------------------------------
 # Window fetch via one-hot selection matmuls (the TPU gather workaround:
 # XLA's gather is ~12 ns/element on TPU, but an MXU matmul with a one-hot
@@ -140,6 +149,23 @@ def _onehot_select(sub, roff, coff, out_h, out_w):
     return out.astype(jnp.int32)
 
 
+def _overlap_subwindows(plane, bs, mb_h, mb_w, span):
+    """Extract overlapping (span*bs)×(span*bs) subwindows at stride bs.
+
+    plane: (>= bs*(mb_h+span-1), >= bs*(mb_w+span-1)). Returns
+    (mb_h, mb_w, span*bs, span*bs) with [i,j] = plane[bs*i : bs*i+span*bs,
+    bs*j : bs*j+span*bs] — built from `span` shifted block *views* per axis
+    (reshape + concat = address arithmetic only; no gather, O(span) HLO ops,
+    the taskset-slice analog of comb_detect.c's segment windows).
+    """
+    side = span * bs
+    v = plane[:bs * (mb_h + span - 1) + bs].reshape(-1, bs, plane.shape[1])
+    strips = jnp.concatenate([v[k:k + mb_h] for k in range(span)], axis=1)
+    c = strips[:, :, :bs * (mb_w + span - 1)].reshape(mb_h, side, -1, bs)
+    sub = jnp.concatenate([c[:, :, k:k + mb_w] for k in range(span)], axis=3)
+    return sub.transpose(0, 2, 1, 3)        # (mb_h, mb_w, side, side)
+
+
 def _fetch_windows(refp, rup, rvp, mv_cy, mv_cx, mb_w, mb_h):
     """refp: (H+2*PAD+16, *) luma padded; rup/rvp: (H/2+48, *) chroma padded.
     mv_*: (nMB,) clamped full-pel coarse mvs.
@@ -147,22 +173,16 @@ def _fetch_windows(refp, rup, rvp, mv_cy, mv_cx, mb_w, mb_h):
     luma (y0+mv+PAD-8, x0+mv+PAD-8), chroma (cy0+((4mv-16)>>3)+16, …)."""
     my = mv_cy.reshape(mb_h, mb_w)
     mx = mv_cx.reshape(mb_h, mb_w)
-    # luma: strips (mb_h, 80, W+2PAD) rows [16i, 16i+80); per-MB col slice
-    # [16j, 16j+80) → origin offsets (my+24, mx+24) ∈ [2, 46]
-    strips = jnp.stack([refp[16 * i:16 * i + 80] for i in range(mb_h)])
-    sub = jnp.stack([strips[:, :, 16 * j:16 * j + 80] for j in range(mb_w)],
-                    axis=1)                                   # (b,n,80,80)
+    # luma: 80x80 subwindows at stride 16; per-MB dynamic origin
+    # (my+24, mx+24) ∈ [2, 46] resolved by the one-hot matmul
+    sub = _overlap_subwindows(refp, 16, mb_h, mb_w, 5)        # (b,n,80,80)
     wy = _onehot_select(sub, my + (PAD - 8), mx + (PAD - 8), WIN, WIN)
-    # chroma: strips rows [8i, 8i+48), cols [8j, 8j+48);
-    # origin local = ((4*mv-16)>>3) + 16 - 0 ∈ [4, 23]
+    # chroma: 48x48 subwindows at stride 8; origin local
+    # ((4*mv-16)>>3) + 16 ∈ [4, 23]
     croff = ((4 * my - 16) >> 3) + 16
     ccoff = ((4 * mx - 16) >> 3) + 16
-    cu = jnp.stack([rup[8 * i:8 * i + 48] for i in range(mb_h)])
-    cv = jnp.stack([rvp[8 * i:8 * i + 48] for i in range(mb_h)])
-    subu = jnp.stack([cu[:, :, 8 * j:8 * j + 48] for j in range(mb_w)],
-                     axis=1)
-    subv = jnp.stack([cv[:, :, 8 * j:8 * j + 48] for j in range(mb_w)],
-                     axis=1)
+    subu = _overlap_subwindows(rup, 8, mb_h, mb_w, 6)         # (b,n,48,48)
+    subv = _overlap_subwindows(rvp, 8, mb_h, mb_w, 6)
     wu = _onehot_select(subu, croff, ccoff, CWIN, CWIN)
     wv = _onehot_select(subv, croff, ccoff, CWIN, CWIN)
     n_mb = mb_w * mb_h
@@ -243,8 +263,22 @@ def _subpel_preds(A):
 # the analyzer
 # ---------------------------------------------------------------------------
 def build_p_analyzer(mb_w: int, mb_h: int, interpret: bool | None = None):
-    """Returns jitted analyze(src_y,u,v, ref_y,u,v, qp, qpc) → dict."""
-    return jax.jit(build_p_analyzer_fn(mb_w, mb_h, interpret))
+    """Returns jitted analyze(src_packed, ref_y,u,v, qp, qpc) → dict.
+
+    src_packed is the three source planes concatenated into one flat uint8
+    buffer (y | u | v): the host→device link pays per-transfer overhead, so
+    the encoder ships one array per frame instead of three."""
+    fn = build_p_analyzer_fn(mb_w, mb_h, interpret)
+    H, W = mb_h * 16, mb_w * 16
+    ny, nc = H * W, (H // 2) * (W // 2)
+
+    def analyze_packed(src, ref_y, ref_u, ref_v, qp, qpc):
+        y = src[:ny].reshape(H, W)
+        u = src[ny:ny + nc].reshape(H // 2, W // 2)
+        v = src[ny + nc:ny + 2 * nc].reshape(H // 2, W // 2)
+        return fn(y, u, v, ref_y, ref_u, ref_v, qp, qpc)
+
+    return jax.jit(analyze_packed)
 
 
 def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None):
@@ -256,8 +290,6 @@ def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None):
     del interpret  # pure-XLA path runs identically on all backends
     H, W = mb_h * 16, mb_w * 16
     n_mb = mb_w * mb_h
-    Wl = _lanes(W + 2 * PAD)
-    Wc = _lanes(W // 2 + 48)
     r = REFINE_R
     side = 2 * r + 1
 
@@ -284,16 +316,15 @@ def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None):
         mv_cx = jnp.clip((best % (2 * LOWRES_R + 1) - LOWRES_R) * 4,
                          -(MV_CLAMP - r), MV_CLAMP - r).astype(jnp.int32)
 
-        # --- Pallas window fetch ---
+        # --- gather-free window fetch (block views + one-hot matmuls) ---
+        # chroma right-pad is 24 (not 16): the 48-wide block views read 8
+        # cols past the window range; values there are never selected.
         refp = jnp.pad(ref_y.astype(jnp.int32),
                        ((PAD, PAD + 16), (PAD, PAD)), mode="edge")
-        refp = jnp.pad(refp, ((0, 0), (0, Wl - refp.shape[1])))
-        rup = jnp.pad(ref_u.astype(jnp.int32), ((16, 32), (16, 16)),
+        rup = jnp.pad(ref_u.astype(jnp.int32), ((16, 32), (16, 24)),
                       mode="edge")
-        rup = jnp.pad(rup, ((0, 0), (0, Wc - rup.shape[1])))
-        rvp = jnp.pad(ref_v.astype(jnp.int32), ((16, 32), (16, 16)),
+        rvp = jnp.pad(ref_v.astype(jnp.int32), ((16, 32), (16, 24)),
                       mode="edge")
-        rvp = jnp.pad(rvp, ((0, 0), (0, Wc - rvp.shape[1])))
         wy, wu, wv = _fetch_windows(refp, rup, rvp, mv_cy, mv_cx, mb_w, mb_h)
 
         # --- full-pel refine ±r (static slices of the windows) ---
@@ -393,6 +424,26 @@ def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None):
         udc, uac, urec, unnz = chroma(src_u, wu)
         vdc, vac, vrec, vnnz = chroma(src_v, wv)
 
+        # --- compact entropy payload -------------------------------------
+        # The host↔device link is the pipeline bottleneck (the reference's
+        # hwaccel upload/download, hwaccel.c:15). Levels are shipped as int8
+        # for *coded MBs only*, bucketed into PAYLOAD_CHUNKS so the host
+        # fetches just ceil(n_coded/chunk) buckets; full int16 arrays remain
+        # available as a fallback (level overflow or > cap coded MBs).
+        coded = ((cbp_luma > 0) | (udc != 0).any(-1) | (unnz > 0).any(-1)
+                 | (vdc != 0).any(-1) | (vnnz > 0).any(-1))
+        n_coded = coded.sum().astype(jnp.int32)
+        payload16 = jnp.concatenate([
+            lv.reshape(n_mb, 256), udc, uac.reshape(n_mb, 64),
+            vdc, vac.reshape(n_mb, 64)], axis=1)          # (nMB, 392)
+        overflow = (jnp.abs(payload16).max() > 127).astype(jnp.int32)
+        cap = _payload_cap(n_mb)
+        coded_idx = jnp.nonzero(coded, size=cap, fill_value=0)[0]
+        payload8 = jnp.take(
+            jnp.clip(payload16, -128, 127).astype(jnp.int8),
+            coded_idx, axis=0).reshape(PAYLOAD_CHUNKS, cap // PAYLOAD_CHUNKS,
+                                       392)
+
         # Assemble recon planes on device and compact dtypes: host↔device
         # transfer is the pipeline's bandwidth bottleneck (the reference's
         # hwaccel upload/download analog, hwaccel.c:15), so levels travel
@@ -402,9 +453,40 @@ def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None):
                     .transpose(0, 2, 1, 3)
                     .reshape(mb_h * bs, mb_w * bs).astype(jnp.uint8))
 
+        # single-transfer header+per-MB metadata buffer: each device_get
+        # round trip costs ~20 ms over the axon tunnel, so everything the
+        # entropy walker needs travels as ONE byte array (layout parsed by
+        # encoder._parse_packed; sizes are static per build)
+        n_intra = (sad_best > INTRA_THRESH).sum().astype(jnp.int32)
+        mv16 = jnp.stack([mvx, mvy], 1).astype(jnp.int16)
+
+        def _bytes(x):
+            return jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
+
+        packed_small = jnp.concatenate([
+            _bytes(jnp.stack([n_intra, n_coded, overflow]).astype(jnp.int32)),
+            _bytes(mv16),
+            _bytes(sad_best.astype(jnp.int32)),
+            _bytes(cbp_luma.astype(jnp.int8)),
+            _bytes(unnz.astype(jnp.int8)),
+            _bytes(vnnz.astype(jnp.int8)),
+            _bytes(coded_idx.astype(
+                jnp.int16 if n_mb <= 32767 else jnp.int32)),
+        ])
+
         return {
-            "mv": jnp.stack([mvx, mvy], 1).astype(jnp.int16),
+            "packed_small": packed_small,
+            "mv": mv16,
             "sad": sad_best.astype(jnp.int32),
+            # device-side count of candidate intra-fallback MBs: when 0 (the
+            # common case) the host never downloads the recon planes at all
+            "n_intra": n_intra,
+            "n_coded": n_coded,
+            "overflow": overflow,
+            "coded_idx": coded_idx.astype(jnp.int32),
+            # list of chunk arrays: the host fetches only the buckets that
+            # actually hold coded MBs (each is a separate jit output)
+            "payload": [payload8[c] for c in range(PAYLOAD_CHUNKS)],
             "luma_lv": lv.astype(jnp.int16),
             "luma_nnz": nnz.astype(jnp.int8),
             "cbp_luma": cbp_luma.astype(jnp.int8),

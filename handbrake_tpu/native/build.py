@@ -46,7 +46,9 @@ def _build() -> str | None:
     src = os.path.join(workdir, "hb264.cpp")
     with open(src, "w") as f:
         f.write(cpp)
-    tmp = so_path + ".tmp"
+    # per-process tmp name: concurrent first builds must not publish a .so
+    # another process is still writing (os.replace is atomic per file only)
+    tmp = f"{so_path}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
            "-I", workdir, src, "-o", tmp]
     try:
@@ -95,5 +97,14 @@ def get_lib():
         if so is None:
             _failed[0] = True
             return None
-        _lib[0] = _bind(ctypes.CDLL(so))
+        try:
+            _lib[0] = _bind(ctypes.CDLL(so))
+        except OSError:
+            # corrupt cache entry (e.g. interrupted build): drop and disable
+            try:
+                os.unlink(so)
+            except OSError:
+                pass
+            _failed[0] = True
+            return None
         return _lib[0]

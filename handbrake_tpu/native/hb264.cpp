@@ -378,8 +378,10 @@ enum { C_DC = 0, C_H = 1, C_V = 2, C_PLANE = 3 };
 static void intra16_pred(int mode, const uint8_t* rec, int stride,
                          int x0, int y0, bool has_top, bool has_left,
                          int32_t pred[256]) {
-    const uint8_t* top = &rec[(y0 - 1) * stride + x0];
-    const uint8_t* leftcol = &rec[y0 * stride + x0 - 1];
+    // form neighbour pointers only when the neighbour exists (forming an
+    // out-of-bounds pointer is UB even if never dereferenced)
+    const uint8_t* top = has_top ? &rec[(y0 - 1) * stride + x0] : rec;
+    const uint8_t* leftcol = has_left ? &rec[y0 * stride + x0 - 1] : rec;
     switch (mode) {
     case I16_V:
         for (int r = 0; r < 16; r++)
@@ -436,8 +438,8 @@ static void intra16_pred(int mode, const uint8_t* rec, int stride,
 static void chroma_pred(int mode, const uint8_t* rec, int stride,
                         int x0, int y0, bool has_top, bool has_left,
                         int32_t pred[64]) {
-    const uint8_t* top = &rec[(y0 - 1) * stride + x0];
-    const uint8_t* leftcol = &rec[y0 * stride + x0 - 1];
+    const uint8_t* top = has_top ? &rec[(y0 - 1) * stride + x0] : rec;
+    const uint8_t* leftcol = has_left ? &rec[y0 * stride + x0 - 1] : rec;
     switch (mode) {
     case C_V:
         for (int r = 0; r < 8; r++)
