@@ -93,6 +93,15 @@ class H264Decoder:
                             mb % mb_w, mb // mb_w, mb_w, qp, qpc,
                             hdr.slice_type)
             mb += 1
+        if hdr.disable_deblocking == 0:
+            from .deblock import deblock_frame
+            mb_intra = np.zeros((mb_h, mb_w), bool)
+            mvs = np.zeros((mb_h, mb_w, 2), np.int32)
+            for (mbx, mby), r in ctx.refs.items():
+                mb_intra[mby, mbx] = (r == -1)
+            for (mbx, mby), mv in ctx.mvs.items():
+                mvs[mby, mbx] = mv
+            deblock_frame(y, u, v, qp, qpc, mb_intra, mvs, ctx.nnz_l)
         self.recon_y, self.recon_u, self.recon_v = y, u, v
         cw = sps.width
         ch = sps.height

@@ -59,6 +59,9 @@ class EncoderConfig:
     # "host": pure-numpy reference path; "device": batched jax analysis for
     # P frames (encoder_tpu.py) with this host walker doing entropy coding
     backend: str = "host"
+    # in-loop deblocking (spec 8.7). Host backend only for now: the device
+    # recon would need the slope-2 wavefront filter to stay bit-exact.
+    deblock: bool = False
 
 
 class MBCtx:
@@ -308,6 +311,9 @@ class H264Encoder:
 
     def __init__(self, cfg: EncoderConfig):
         self.cfg = cfg
+        if cfg.deblock and cfg.backend == "device":
+            # loop-filtered references require the host walk for now
+            cfg.backend = "host"
         w, h = cfg.width, cfg.height
         self.mb_w = (w + 15) // 16
         self.mb_h = (h + 15) // 16
@@ -576,20 +582,24 @@ class H264Encoder:
                       qp=None) -> bytes:
         qp = self.cfg.qp if qp is None else qp
         qpc = T.chroma_qp(qp, self.cfg.chroma_qp_offset)
+        deblk = 0 if self.cfg.deblock else 1
         if idr and analysis is None and self._natlib is not None:
             hdr = SliceHeader(slice_type=SLICE_I, idr=True, frame_num=0,
                               idr_pic_id=self.idr_pic_id, qp=qp,
-                              disable_deblocking=1)
+                              disable_deblocking=deblk)
             payload = self._native_i_slice(y, u, v, qp, qpc,
                                            hdr.write(self.sps, self.pps))
             if payload is not None:
                 self.idr_pic_id = (self.idr_pic_id + 1) % 16
+                if self.cfg.deblock:
+                    # all-intra frame: bS is 4/3 everywhere, nnz/mv unused
+                    self._apply_deblock(qp, qpc, intra_all=True)
                 return payload
         slice_type = SLICE_I if idr else SLICE_P
         hdr = SliceHeader(slice_type=slice_type, idr=idr,
                           frame_num=0 if idr else self.frame_num,
                           idr_pic_id=self.idr_pic_id if idr else 0,
-                          qp=qp, disable_deblocking=1)
+                          qp=qp, disable_deblocking=deblk)
         bw = hdr.write(self.sps, self.pps)
 
         ctx = MBCtx(self.mb_w, self.mb_h)
@@ -612,10 +622,38 @@ class H264Encoder:
             bw.ue(skip_run)
         bw.rbsp_trailing()
         self.recon_y, self.recon_u, self.recon_v = new_y, new_u, new_v
+        if self.cfg.deblock:
+            self._apply_deblock(qp, qpc, ctx=ctx)
         if idr:
             self.idr_pic_id = (self.idr_pic_id + 1) % 16
         from .bits import nal_unit
         return nal_unit(3, NAL_IDR if idr else NAL_SLICE, bw.get_rbsp())
+
+    def _apply_deblock(self, qp, qpc, ctx=None, intra_all=False):
+        """Loop-filter self.recon_* in place (the filtered frame is the
+        reference AND the conformance output — spec 8.7)."""
+        from .deblock import deblock_frame
+        mb_w, mb_h = self.mb_w, self.mb_h
+        if intra_all:
+            mb_intra = np.ones((mb_h, mb_w), bool)
+            mvs = np.zeros((mb_h, mb_w, 2), np.int32)
+            nnz = np.zeros((mb_h * 4, mb_w * 4), np.int32)
+        else:
+            mb_intra = np.zeros((mb_h, mb_w), bool)
+            mvs = np.zeros((mb_h, mb_w, 2), np.int32)
+            for (mbx, mby), r in ctx.refs.items():
+                mb_intra[mby, mbx] = (r == -1)
+            for (mbx, mby), mv in ctx.mvs.items():
+                mvs[mby, mbx] = mv
+            nnz = ctx.nnz_l
+        ry = self.recon_y.astype(np.int32)
+        ru = self.recon_u.astype(np.int32)
+        rv = self.recon_v.astype(np.int32)
+        deblock_frame(ry, ru, rv, qp, qpc, mb_intra, mvs, nnz)
+        dt = self.recon_y.dtype
+        self.recon_y = ry.astype(dt)
+        self.recon_u = ru.astype(dt)
+        self.recon_v = rv.astype(dt)
 
     # -- macroblock level --------------------------------------------------
     def _encode_mb(self, bw, y, u, v, new_y, new_u, new_v,

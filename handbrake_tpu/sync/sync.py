@@ -46,6 +46,10 @@ class StreamState:
     gap_ticks: int = 0
     overlap_ticks: int = 0
     drops: int = 0
+    # PCM geometry for silence synthesis (None for passthrough/video —
+    # no fill possible in the compressed domain)
+    sample_rate: Optional[int] = None
+    channels: int = 2
 
 
 class SyncCore:
@@ -64,8 +68,12 @@ class SyncCore:
         self.common_start: Optional[int] = None
         self.done = False
 
-    def add_stream(self, kind: str, sid: int = 0) -> int:
-        self.streams.append(StreamState(kind=kind, id=sid))
+    def add_stream(self, kind: str, sid: int = 0,
+                   sample_rate: Optional[int] = None,
+                   channels: int = 2) -> int:
+        self.streams.append(StreamState(kind=kind, id=sid,
+                                        sample_rate=sample_rate,
+                                        channels=channels))
         return len(self.streams) - 1
 
     # -- input side ----------------------------------------------------------
@@ -130,8 +138,10 @@ class SyncCore:
             st.next_pts = start
         return True
 
-    def _repair(self, st: StreamState, buf: Buffer):
-        """Dejitter + gap/overlap repair against the stream's running clock."""
+    def _repair(self, st: StreamState, buf: Buffer) -> list:
+        """Dejitter + gap/overlap repair against the stream's running clock.
+        Returns 0..2 buffers (a synthesized silence fill may precede buf)."""
+        out = []
         if st.next_pts is None:
             st.next_pts = buf.pts
         delta = buf.pts - st.next_pts
@@ -144,18 +154,23 @@ class SyncCore:
             st.overlap_ticks += -delta
             if (buf.stop or buf.pts) <= st.next_pts:
                 st.drops += 1
-                return None
+                return out
             buf.duration = (buf.stop or buf.pts + (buf.duration or 0)) \
                 - st.next_pts
             buf.pts = st.next_pts
             buf.stop = buf.pts + buf.duration
         elif delta > GAP_THRESHOLD:
             st.gap_ticks += delta
-            # gap: leave pts (timeline hole is legal in VFR video); audio
-            # callers may synthesize silence via the gap hook
+            if st.kind == "audio" and st.sample_rate:
+                # synthesize silence covering the hole (CreateSilenceBuf
+                # sync.c:290); video/passthrough leave a legal timeline hole
+                out.append(fill_audio_gap(st.next_pts, delta,
+                                          st.sample_rate, st.channels,
+                                          sid=st.id))
         st.next_pts = buf.stop if buf.stop is not None \
             else buf.pts + (buf.duration or 0)
-        return buf
+        out.append(buf)
+        return out
 
     def poll(self) -> list:
         """Emit everything currently safe to emit, merged by lowest PTS."""
@@ -185,9 +200,7 @@ class SyncCore:
                 if all(s.eof and not s.queue for s in self.streams):
                     self.done = True
                 continue
-            fixed = self._repair(best, buf)
-            if fixed is not None:
-                out.append(fixed)
+            out.extend(self._repair(best, buf))
         if all(s.eof and not s.queue for s in self.streams):
             self.done = True
         return out
@@ -204,7 +217,7 @@ def _shifted(buf: Buffer, off: int) -> Buffer:
 
 
 def fill_audio_gap(st_next_pts: int, gap_ticks: int, sample_rate: int,
-                   channels: int):
+                   channels: int, sid: int = 0):
     """Silence buffer covering a gap (CreateSilenceBuf analog sync.c:290)."""
     import numpy as np
     nsamples = gap_ticks * sample_rate // CLOCK
@@ -212,4 +225,5 @@ def fill_audio_gap(st_next_pts: int, gap_ticks: int, sample_rate: int,
     b = Buffer(track_kind="audio", pts=st_next_pts, duration=gap_ticks)
     b.stop = b.pts + gap_ticks
     b.planes = [pcm]
+    b.stream_id = sid
     return b

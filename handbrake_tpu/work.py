@@ -140,7 +140,16 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
     pts_start, pts_stop = resolve_range(job, src, vrate)
     sync = SyncCore(pts_start=pts_start, pts_stop=pts_stop)
     v_sync = sync.add_stream("video")
-    a_sync = {si: sync.add_stream("audio", sid=si) for si, _ in audio_sel}
+    # PCM geometry lets sync synthesize silence for gaps (CreateSilenceBuf
+    # analog); passthrough tracks get no fill (compressed domain)
+    a_sync = {}
+    for si, _spec in audio_sel:
+        ti = src.tracks[si]
+        pcm = ti.codec in ("pcm_s16le", "lpcm", "flac")
+        a_sync[si] = sync.add_stream(
+            "audio", sid=si,
+            sample_rate=ti.sample_rate if pcm else None,
+            channels=max(1, ti.channels))
 
     # ---- filters ----
     fi = FilterInit(geometry=Geometry(

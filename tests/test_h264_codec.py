@@ -119,3 +119,80 @@ def test_bitrate_monotonic_in_qp():
         stream, _ = encode_clip(48, 32, 4, qp=qp)
         sizes[qp] = len(stream)
     assert sizes[16] > sizes[28] > sizes[40], sizes
+
+
+def encode_clip_deblock(W, H, n, qp=28, gop=4, seed=0, motion=4):
+    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=qp, gop=gop,
+                                    search_range=12, deblock=True))
+    stream = b""
+    recons = []
+    for y, u, v in synth_clip(W, H, n, seed, motion):
+        stream += enc.encode_frame(y, u, v)
+        recons.append((enc.recon_y.copy(), enc.recon_u.copy(),
+                       enc.recon_v.copy()))
+    return stream, recons
+
+
+def test_deblock_own_decoder_bit_exact():
+    """Loop-filtered streams: our decoder must match the encoder recon
+    exactly (encoder refs = filtered frames, so any filter divergence
+    drifts and fails)."""
+    stream, recons = encode_clip_deblock(64, 48, 6, qp=32)
+    frames = H264Decoder().decode(stream)
+    assert len(frames) == 6
+    for i, ((fy, fu, fv), (ry, ru, rv)) in enumerate(zip(frames, recons)):
+        assert np.array_equal(fy, ry.astype(np.uint8)), f"frame {i} luma"
+        assert np.array_equal(fu, ru.astype(np.uint8)), f"frame {i} cb"
+        assert np.array_equal(fv, rv.astype(np.uint8)), f"frame {i} cr"
+
+
+def ffmpeg_decode_luma(stream, tmp_path, n, H, W):
+    """Exact luma planes from FFmpeg (CAP_PROP_CONVERT_RGB=0 hands back the
+    Y plane untouched — no BGR conversion noise)."""
+    p = str(tmp_path / "t.h264")
+    open(p, "wb").write(stream)
+    cap = cv2.VideoCapture(p)
+    cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
+    out = []
+    for _ in range(n):
+        ok, fy = cap.read()
+        assert ok, "ffmpeg failed to decode frame"
+        out.append(fy.reshape(-1, W)[:H])
+    return out
+
+
+@pytest.mark.parametrize("qp", [20, 28, 36, 44])
+def test_deblock_ffmpeg_conformance(qp):
+    """FFmpeg must reconstruct our deblocked streams BIT-EXACTLY in all
+    three planes (exact-YUV oracle via libavcodec, tests/ffdec.py) — this
+    empirically pins the alpha/beta/tc0 tables, the chroma strong-filter
+    mirror, and the 8.7 edge order (P-frame chains amplify divergence)."""
+    import ffdec
+    if not ffdec.available():
+        pytest.skip("libavcodec oracle unavailable")
+    W, H = 64, 48
+    stream, recons = encode_clip_deblock(W, H, 6, qp=qp, gop=6, seed=qp)
+    frames = ffdec.decode_yuv(stream, "h264")
+    assert len(frames) == 6
+    for i, ((fy, fu, fv), (ry, ru, rv)) in enumerate(zip(frames, recons)):
+        assert np.array_equal(fy, ry[:H, :W].astype(np.uint8)), \
+            f"qp {qp} frame {i} luma"
+        assert np.array_equal(fu, ru[:H // 2, :W // 2].astype(np.uint8)), \
+            f"qp {qp} frame {i} cb"
+        assert np.array_equal(fv, rv[:H // 2, :W // 2].astype(np.uint8)), \
+            f"qp {qp} frame {i} cr"
+
+
+def test_deblock_improves_low_bitrate_quality():
+    """At high QP the loop filter should not hurt (usually helps) PSNR."""
+    W, H = 64, 48
+    _, off = encode_clip(W, H, 5, qp=40, gop=5)
+    _, on = encode_clip_deblock(W, H, 5, qp=40, gop=5)
+    src = list(synth_clip(W, H, 5))
+    def avg_psnr(recons):
+        es = []
+        for (ry, _, _), (sy, _, _) in zip(recons, src):
+            mse = np.mean((ry[:H, :W].astype(float) - sy.astype(float)) ** 2)
+            es.append(10 * np.log10(255 ** 2 / max(mse, 1e-9)))
+        return np.mean(es)
+    assert avg_psnr(on) > avg_psnr(off) - 0.15

@@ -148,3 +148,42 @@ def test_pts_start_search():
     out = drain(sc)
     assert out[0].pts == 2 * 3003
     assert len(out) == 4
+
+
+def test_audio_gap_synthesizes_silence():
+    """A dropout in a PCM audio stream gets filled with a silence buffer
+    (CreateSilenceBuf sync.c:290) so downstream encode stays in sync."""
+    sc = SyncCore()
+    a = sc.add_stream("audio", sid=3, sample_rate=48000, channels=2)
+    dur = 1920  # 40 ms at 90 kHz
+    for i in range(3):
+        sc.queue(a, abuf(i * dur))
+    gap_start = 3 * dur
+    hole = GAP_THRESHOLD * 4
+    for i in range(3):
+        sc.queue(a, abuf(gap_start + hole + i * dur))
+    sc.set_eof(a)
+    out = drain(sc)
+    # contiguous timeline: every buffer starts where the previous stopped
+    for prev, nxt in zip(out, out[1:]):
+        assert nxt.pts == prev.stop
+    fills = [b for b in out if b.planes and np.all(b.planes[0] == 0)
+             and b.duration == hole]
+    assert len(fills) == 1
+    f = fills[0]
+    assert f.pts == gap_start and f.stream_id == 3
+    assert f.planes[0].shape == (hole * 48000 // CLOCK, 2)
+
+
+def test_audio_gap_no_fill_for_passthrough():
+    sc = SyncCore()
+    a = sc.add_stream("audio", sid=1)  # no sample_rate → passthrough
+    dur = 1920
+    sc.queue(a, abuf(0))
+    sc.queue(a, abuf(dur))
+    sc.queue(a, abuf(dur * 2 + GAP_THRESHOLD * 4))
+    sc.queue(a, abuf(dur * 3 + GAP_THRESHOLD * 4))
+    sc.set_eof(a)
+    out = drain(sc)
+    assert len(out) == 4
+    assert sc.streams[0].gap_ticks == GAP_THRESHOLD * 4
