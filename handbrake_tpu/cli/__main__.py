@@ -89,6 +89,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-E", "--aencoder", default="aac")
     p.add_argument("-B", "--ab", type=int, default=160)
     p.add_argument("--mixdown", default="stereo")
+    # subtitles (SRT import — decsrtsub.c role)
+    p.add_argument("--srt-file", help="comma list of .srt files to import")
+    p.add_argument("--srt-lang", default="und",
+                   help="comma list of ISO-639 codes for --srt-file")
+    p.add_argument("--srt-offset", default="0",
+                   help="comma list of ms offsets for --srt-file")
+    p.add_argument("--srt-burn", type=int, default=0,
+                   help="1-based index into --srt-file to burn in (0=none)")
+    p.add_argument("--srt-default", type=int, default=0,
+                   help="1-based index of the default subtitle track")
     # range
     p.add_argument("--start-at", help="frame:N | seconds:N")
     p.add_argument("--stop-at", help="frame:N | seconds:N (duration)")
@@ -224,6 +234,21 @@ def apply_cli_overrides(job: Job, args) -> Job:
         job.audio = [AudioJobTrack(track=t, encoder=args.aencoder,
                                    bitrate=args.ab, mixdown=args.mixdown)
                      for t in tracks]
+    # subtitles
+    if args.srt_file:
+        from ..job.schema import SubtitleJobTrack
+        files = args.srt_file.split(",")
+        langs = (args.srt_lang or "und").split(",")
+        offs = (args.srt_offset or "0").split(",")
+        job.subtitles = []
+        for i, f in enumerate(files):
+            job.subtitles.append(SubtitleJobTrack(
+                track=-1, import_file=f, import_format="SRT",
+                language=langs[i] if i < len(langs) else "und",
+                offset=int(offs[i]) if i < len(offs) else 0,
+                burn=(args.srt_burn == i + 1),
+                default=(args.srt_default == i + 1)))
+
     # range
     if args.chapters:
         a, _, b = args.chapters.partition("-")

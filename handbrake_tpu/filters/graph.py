@@ -38,6 +38,15 @@ class FilterGraph:
                 error(f"filter {spec['ID']} disabled: {e}")
         self.fi_out = cur
 
+    def queue_subtitle(self, ev: Buffer) -> bool:
+        """Route a subtitle event straight to the burn-in filter (subtitle
+        buffers never traverse the video chain — fifo routing analog)."""
+        for f in self.filters:
+            if getattr(f, "name", "") == "render_sub":
+                f.queue_subtitle(ev)
+                return True
+        return False
+
     def work(self, buf: Buffer) -> list:
         bufs = [buf]
         for f in self.filters:

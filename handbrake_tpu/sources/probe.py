@@ -31,6 +31,13 @@ def open_source(path: str):
     if head.startswith(b"YUV4MPEG2"):
         return Y4MReader(path)
     ext = os.path.splitext(path)[1].lower()
+    if ext in (".ts", ".m2ts", ".mts"):
+        from .ts import TSDemuxer
+        return TSDemuxer(path)
+    if head and head[0] == 0x47:
+        from .ts import TSDemuxer, probe_is_ts
+        if probe_is_ts(path):
+            return TSDemuxer(path)
     if ext in (".265", ".h265", ".hevc"):
         return AnnexBReader(path, codec="hevc")
     if b"\x00\x00\x01" in head or ext in (".264", ".h264", ".avc"):

@@ -112,6 +112,8 @@ class SyncCore:
     def _establish_start(self):
         firsts = []
         for st in self.streams:
+            if st.kind == "subtitle":
+                continue  # subtitles never define the common start
             if st.queue:
                 firsts.append(st.queue[0].pts)
             elif not st.eof:
@@ -122,10 +124,12 @@ class SyncCore:
         if self.pts_start is not None:
             start = max(start, self.pts_start)
         self.common_start = start
-        # trim every stream to the common start
+        # trim every stream to the common start (unknown-duration buffers
+        # are kept when they start exactly at the cut)
         for st in self.streams:
             q = st.queue
-            while q and (q[0].stop or q[0].pts) <= start:
+            while q and (q[0].pts < start if q[0].stop is None
+                         else q[0].stop <= start):
                 q.pop(0)
                 st.drops += 1
             if q and q[0].pts < start:
@@ -141,6 +145,10 @@ class SyncCore:
     def _repair(self, st: StreamState, buf: Buffer) -> list:
         """Dejitter + gap/overlap repair against the stream's running clock.
         Returns 0..2 buffers (a synthesized silence fill may precede buf)."""
+        if st.kind == "subtitle":
+            # subtitle cues keep author timing: overlaps/gaps are legal
+            # (decsrtsub semantics); only the start trim applies
+            return [buf]
         out = []
         if st.next_pts is None:
             st.next_pts = buf.pts

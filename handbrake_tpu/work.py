@@ -151,12 +151,38 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
             sample_rate=ti.sample_rate if pcm else None,
             channels=max(1, ti.channels))
 
+    # ---- subtitles (SRT import; in-stream tracks follow) ----
+    sub_sel = []              # (key, SubtitleJobTrack, [SubEvent])
+    for k, sspec in enumerate(job.subtitles):
+        if sspec.import_file:
+            from .subtitles import parse_srt
+            with open(sspec.import_file, "rb") as f:
+                events = parse_srt(f.read(), offset_ms=sspec.offset)
+            sub_sel.append((k, sspec, events))
+    s_sync = {}
+    for k, sspec, events in sub_sel:
+        s_sync[k] = sync.add_stream("subtitle", sid=_SUB_SID0 + k)
+        for e in events:
+            b = Buffer(track_kind="subtitle", pts=e.pts, stop=e.stop,
+                       duration=e.duration)
+            b.data = e.text.encode("utf-8")
+            b.stream_id = _SUB_SID0 + k
+            sync.queue(s_sync[k], b)
+        sync.set_eof(s_sync[k])
+    sub_specs = {k: sspec for k, sspec, _ in sub_sel}
+
     # ---- filters ----
     fi = FilterInit(geometry=Geometry(
         vti.width, vti.height, vti.par_num, vti.par_den),
         pix_fmt=PIX_FMTS.get("yuv420p"), vrate=vrate)
-    graph = FilterGraph([{"ID": f.id, "Settings": f.settings}
-                         for f in job.filters], fi)
+    filter_list = [{"ID": f.id, "Settings": f.settings}
+                   for f in job.filters]
+    if any(s.burn for s in sub_specs.values()):
+        # auto-insert the burn-in filter (work.c subtitle sanitize analog)
+        from .job import schema as S
+        if not any(f["ID"] == S.FILTER_RENDER_SUB for f in filter_list):
+            filter_list.append({"ID": S.FILTER_RENDER_SUB, "Settings": {}})
+    graph = FilterGraph(filter_list, fi)
     out_fi = graph.fi_out
     out_w, out_h = out_fi.geometry.width, out_fi.geometry.height
     out_vrate = out_fi.vrate
@@ -173,7 +199,8 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
     if job.pass_id == 1:
         mux = _NullMux()
     else:
-        mux = _MuxAdapter(job, out_fi, audio_sel, src, aencs)
+        mux = _MuxAdapter(job, out_fi, audio_sel, src, aencs,
+                          sub_specs=sub_specs)
 
     # ---- streaming loop ----
     stats = {"frames_in": 0, "frames_out": 0, "bytes_out": 0}
@@ -200,12 +227,13 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
         elif trk in adecs:
             for ab in adecs[trk].feed(pkt):
                 sync.queue(a_sync[trk], ab)
-        _drain(sync, graph, venc, aencs, a_sync, mux, stats, progress, rc)
+        _drain(sync, graph, venc, aencs, a_sync, mux, stats, progress, rc,
+               sub_specs=sub_specs, out_wh=(out_w, out_h))
     # ---- flush ----
     for idx in range(len(sync.streams)):
         sync.set_eof(idx)
     _drain(sync, graph, venc, aencs, a_sync, mux, stats, progress, rc,
-           flush=True)
+           flush=True, sub_specs=sub_specs, out_wh=(out_w, out_h))
     mux.finalize()
     if job.pass_id == 1:
         # hand measured complexity to the final pass (hb_interjob_t role)
@@ -217,8 +245,11 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
     return stats
 
 
+_SUB_SID0 = 1000   # subtitle stream ids live above source track indexes
+
+
 def _drain(sync, graph, venc, aencs, a_sync, mux, stats, progress, rc,
-           flush=False):
+           flush=False, sub_specs=None, out_wh=None):
     out = sync.poll()
     if flush:
         out += _flush_tail(sync)
@@ -233,6 +264,24 @@ def _drain(sync, graph, venc, aencs, a_sync, mux, stats, progress, rc,
             if enc is not None:
                 for pkt in enc.process(buf):
                     mux.write_audio(buf.stream_id, pkt)
+        elif buf.track_kind == "subtitle":
+            k = buf.stream_id - _SUB_SID0
+            spec = (sub_specs or {}).get(k)
+            if spec is None:
+                continue
+            if spec.burn:
+                # rasterize → RGBA event for the burn-in filter
+                from .subtitles.raster import render_text_rgba
+                w, h = out_wh
+                rgba, (x0, y0) = render_text_rgba(
+                    buf.data.decode("utf-8"), w, h)
+                ev = Buffer(track_kind="subtitle", pts=buf.pts,
+                            stop=buf.stop, duration=buf.duration)
+                ev.planes = [rgba]
+                ev.rect = (x0, y0)
+                graph.queue_subtitle(ev)
+            else:
+                mux.write_subtitle(k, buf)
     if flush:
         for fb in graph.flush():
             _encode_video(venc, fb, mux, stats, progress, rc)
@@ -265,6 +314,9 @@ class _NullMux:
         pass
 
     def write_audio(self, sid, pkt):
+        pass
+
+    def write_subtitle(self, k, buf):
         pass
 
     def finalize(self):
@@ -321,12 +373,15 @@ class _MuxAdapter:
     """Wraps MP4Writer/MKVWriter behind one write_video/write_audio API
     (muxcommon.c role: track fan-in; interleave is the writers' concern)."""
 
-    def __init__(self, job: Job, out_fi, audio_sel, src, aencs=None):
+    def __init__(self, job: Job, out_fi, audio_sel, src, aencs=None,
+                 sub_specs=None):
         self.job = job
         self.kind = job.mux
         self.aencs = aencs or {}
         path = job.file or "out.mp4"
         self._amap = {}
+        self._smap = {}           # subtitle key → track index
+        self._sub_last_end = {}   # tx3g gap filling (90 kHz)
         if job.vcodec in ("hevc_tpu", "x265", "hevc", "h265"):
             mux_vcodec = "hevc"
         elif job.vcodec in ("av1_tpu", "svt_av1", "av1"):
@@ -368,6 +423,16 @@ class _MuxAdapter:
                     sample_rate=chain.sr_out if chain else ti.sample_rate,
                     channels=chain.out_channels if chain else ti.channels,
                     language=ti.language)
+        for k, sspec in (sub_specs or {}).items():
+            if sspec.burn:
+                continue
+            if self.kind in ("mkv", "webm"):
+                self._smap[k] = self.w.add_subtitle_track(
+                    codec="srt", language=sspec.language)
+            else:
+                self._smap[k] = self.w.add_subtitle_track(
+                    codec="tx3g", language=sspec.language)
+            self._sub_last_end[k] = 0
         if job.chapter_markers:
             for i, (start, name) in enumerate(getattr(src, "chapters", [])):
                 title = job.chapter_names[i] \
@@ -397,6 +462,24 @@ class _MuxAdapter:
             t = self.w.tracks[tr]
             dur = (pkt.duration or 0) * t.timescale // CLOCK
             self.w.write_sample(tr, pkt.data, duration=dur)
+
+    def write_subtitle(self, k: int, buf: Buffer):
+        tr = self._smap.get(k)
+        if tr is None or buf.data is None:
+            return
+        text = buf.data
+        pts = buf.pts or 0
+        dur = buf.duration or 0
+        if self.kind in ("mkv", "webm"):
+            self.w.write_sample(tr, text, pts_90k=pts, duration_90k=dur)
+            return
+        # mp4 tx3g: consecutive samples; gaps carry empty cues
+        last = self._sub_last_end.get(k, 0)
+        if pts > last:
+            self.w.write_sample(tr, b"\x00\x00", duration=pts - last)
+        sample = len(text).to_bytes(2, "big") + text
+        self.w.write_sample(tr, sample, duration=dur)
+        self._sub_last_end[k] = pts + dur
 
     def finalize(self):
         # late extradata (FLAC STREAMINFO carries final MD5/total-samples;

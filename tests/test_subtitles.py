@@ -1,0 +1,147 @@
+"""Subtitle pipeline: SRT parse (decsrtsub.c semantics), mux tracks
+(tx3g mp4 / S_TEXT/UTF8 mkv), and burn-in through rendersub."""
+import numpy as np
+import pytest
+
+from handbrake_tpu.core.buffer import CLOCK
+from handbrake_tpu.subtitles import parse_srt
+
+SRT = b"""1
+00:00:01,000 --> 00:00:02,500
+Hello <i>world</i>
+
+2
+00:00:03.000 --> 00:00:04.000
+Line one
+Line two
+
+garbage-not-an-index
+00:00:05,000 --> 00:00:04,000
+negative duration dropped
+
+3
+00:00:06,000 --> 00:00:07,250
+{\\an8}Styled away
+"""
+
+
+def test_parse_srt_basic():
+    evs = parse_srt(SRT)
+    assert len(evs) == 3
+    assert evs[0].pts == CLOCK and evs[0].stop == CLOCK * 5 // 2
+    assert evs[0].text == "Hello world"
+    assert evs[1].text == "Line one\nLine two"
+    assert evs[2].pts == 6 * CLOCK
+    assert evs[2].text == "Styled away"
+
+
+def test_parse_srt_bom_and_offset():
+    data = b"\xef\xbb\xbf" + SRT
+    evs = parse_srt(data, offset_ms=500)
+    assert evs[0].pts == CLOCK + CLOCK // 2
+    u16 = ("1\n00:00:01,000 --> 00:00:02,000\nUnié\n\n").encode(
+        "utf-16-le")
+    evs = parse_srt(b"\xff\xfe" + u16)
+    assert evs[0].text == "Unié"
+
+
+def test_parse_srt_latin1_fallback():
+    data = "1\n00:00:01,000 --> 00:00:02,000\nCaf\xe9\n\n".encode("latin-1")
+    evs = parse_srt(data)
+    assert evs[0].text == "Caf\xe9"
+
+
+@pytest.fixture
+def srt_file(tmp_path):
+    p = tmp_path / "subs.srt"
+    p.write_bytes(b"1\n00:00:00,100 --> 00:00:00,200\nFirst cue\n\n"
+                  b"2\n00:00:00,233 --> 00:00:00,300\nSecond cue\n\n")
+    return str(p)
+
+
+def _y4m(tmp_path, w=64, h=48, n=12):
+    path = str(tmp_path / "in.y4m")
+    base = (np.add.outer(np.arange(h), np.arange(w)) * 3 % 256).astype(
+        np.uint8)
+    with open(path, "wb") as f:
+        f.write(f"YUV4MPEG2 W{w} H{h} F30000:1001 Ip A1:1 C420\n".encode())
+        for i in range(n):
+            f.write(b"FRAME\n")
+            f.write(np.roll(base, i, axis=1).tobytes())
+            f.write(bytes([110]) * (w // 2 * h // 2))
+            f.write(bytes([60]) * (w // 2 * h // 2))
+    return path
+
+
+def test_mkv_subtitle_track(tmp_path, srt_file, monkeypatch):
+    monkeypatch.setenv("HB_TPU_DISABLE_DEVICE", "1")
+    from handbrake_tpu import work
+    from handbrake_tpu.job.schema import Job, SubtitleJobTrack
+    from handbrake_tpu.sources.mkv import MKVDemuxer
+    out = str(tmp_path / "o.mkv")
+    j = Job(path=_y4m(tmp_path), file=out, mux="mkv", quality=30.0)
+    j.subtitles = [SubtitleJobTrack(track=-1, import_file=srt_file,
+                                    language="eng")]
+    work.do_job(j)
+    d = MKVDemuxer(out)
+    subs = [t for t in d.tracks if t.kind == "subtitle"]
+    assert len(subs) == 1
+    assert subs[0].language in ("eng", "und")
+    texts = [pkt.data for trk, pkt in d.packets()
+             if d.tracks[trk].kind == "subtitle"]
+    assert b"First cue" in b"|".join(texts)
+    assert b"Second cue" in b"|".join(texts)
+
+
+def test_mp4_tx3g_subtitle_track(tmp_path, srt_file, monkeypatch):
+    monkeypatch.setenv("HB_TPU_DISABLE_DEVICE", "1")
+    from handbrake_tpu import work
+    from handbrake_tpu.job.schema import Job, SubtitleJobTrack
+    from handbrake_tpu.sources.mp4 import MP4Demuxer
+    out = str(tmp_path / "o.mp4")
+    j = Job(path=_y4m(tmp_path), file=out, mux="mp4", quality=30.0)
+    j.subtitles = [SubtitleJobTrack(track=-1, import_file=srt_file,
+                                    language="eng")]
+    work.do_job(j)
+    d = MP4Demuxer(out)
+    subs = [i for i, t in enumerate(d.tracks) if t.kind == "subtitle"]
+    assert len(subs) == 1
+    payload = b"".join(pkt.data for trk, pkt in d.packets()
+                       if trk == subs[0] and pkt.data)
+    assert b"First cue" in payload and b"Second cue" in payload
+
+
+def test_burn_in_changes_pixels(tmp_path, srt_file, monkeypatch):
+    monkeypatch.setenv("HB_TPU_DISABLE_DEVICE", "1")
+    from handbrake_tpu import work
+    from handbrake_tpu.codecs.registry import create_video_decoder
+    from handbrake_tpu.job.schema import Job, SubtitleJobTrack
+    from handbrake_tpu.sources.mp4 import MP4Demuxer
+
+    def encode(with_burn):
+        out = str(tmp_path / f"b{int(with_burn)}.mp4")
+        j = Job(path=_y4m(tmp_path), file=out, mux="mp4", quality=20.0)
+        if with_burn:
+            j.subtitles = [SubtitleJobTrack(track=-1, import_file=srt_file,
+                                            burn=True)]
+        work.do_job(j)
+        d = MP4Demuxer(out)
+        dec = create_video_decoder("h264", d.tracks[0].extradata)
+        frames = []
+        for trk, b in d.packets():
+            if trk == 0:
+                frames.extend(dec.feed(b))
+        return frames
+
+    plain = encode(False)
+    burned = encode(True)
+    assert len(plain) == len(burned) == 12
+    # cue 1 covers frames 0-6-ish at 29.97 fps (100..250 ms ≈ frames 3-7)
+    def luma(f):
+        return np.asarray(f.planes[0] if hasattr(f, "planes") else f[0])
+
+    diffs = [int(np.abs(luma(b).astype(int) - luma(p).astype(int)).max())
+             for p, b in zip(plain, burned)]
+    assert max(diffs[3:6]) > 40, diffs        # text visibly burned
+    # after the last cue only P-ref ripple remains (no text ⇒ ≪ 40)
+    assert diffs[-1] < 40, diffs

@@ -1,0 +1,150 @@
+"""MPEG-TS demux (stream.c TS path / demuxmpeg.c analog).
+
+The test builds a conformant single-program TS around our own H.264 ES
+(PAT + PMT with CRC32-MPEG, PES with 33-bit PTS, adaptation-field
+stuffing), then scans and transcodes it.
+"""
+import numpy as np
+import pytest
+
+from handbrake_tpu.codecs.h264.encoder import EncoderConfig, H264Encoder
+
+W, H, N = 64, 48, 8
+
+
+def crc32_mpeg(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc ^= b << 24
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x04C11DB7) if crc & 0x80000000 \
+                else (crc << 1)
+            crc &= 0xFFFFFFFF
+    return crc
+
+
+def psi_packet(pid: int, table: bytes, cc: int) -> bytes:
+    sec = table + crc32_mpeg(table).to_bytes(4, "big")
+    payload = b"\x00" + sec                       # pointer_field
+    hdr = bytes([0x47, 0x40 | (pid >> 8), pid & 0xFF, 0x10 | cc])
+    return hdr + payload + b"\xff" * (184 - len(payload))
+
+
+def pat(cc=0):
+    body = (b"\x00"            # table_id
+            + (0xB000 | (5 + 4 + 4)).to_bytes(2, "big")
+            + b"\x00\x01"      # tsid
+            + b"\xc1\x00\x00"  # version/current, section 0/0
+            + b"\x00\x01" + bytes([0xE0 | 0x00, 0x20]))  # prog 1 → PMT 0x20
+    return psi_packet(0, body, cc)
+
+
+def pmt(cc=0):
+    es = bytes([0x1B, 0xE1, 0x00, 0xF0, 0x00])    # H.264 on PID 0x100
+    body = (b"\x02"
+            + (0xB000 | (9 + 4 + len(es) + 4)).to_bytes(2, "big")
+            + b"\x00\x01\xc1\x00\x00"
+            + bytes([0xE1, 0x00])                  # PCR PID
+            + b"\xf0\x00"                          # program info len
+            + es)
+    return psi_packet(0x20, body, cc)
+
+
+def pes(stream_id: int, pts: int, data: bytes) -> bytes:
+    p = bytes([(pts >> 29) & 0x0E | 0x21,
+               (pts >> 22) & 0xFF, ((pts >> 14) & 0xFE) | 1,
+               (pts >> 7) & 0xFF, ((pts << 1) & 0xFE) | 1])
+    return (b"\x00\x00\x01" + bytes([stream_id]) + b"\x00\x00"
+            + b"\x80\x80\x05" + p + data)
+
+
+def ts_packets(pid: int, pes_data: bytes, cc0: int) -> bytes:
+    out = b""
+    pos = 0
+    cc = cc0
+    first = True
+    while pos < len(pes_data):
+        chunk = pes_data[pos:pos + 184]
+        pos += len(chunk)
+        flags = (0x40 if first else 0x00) | (pid >> 8)
+        if len(chunk) == 184:
+            hdr = bytes([0x47, flags, pid & 0xFF, 0x10 | (cc & 0xF)])
+            out += hdr + chunk
+        else:
+            af_len = 183 - len(chunk)   # bytes following the length field
+            hdr = bytes([0x47, flags, pid & 0xFF, 0x30 | (cc & 0xF)])
+            af = bytes([af_len]) + (bytes([0]) + b"\xff" * (af_len - 1)
+                                    if af_len >= 1 else b"")
+            out += hdr + af + chunk
+        cc += 1
+        first = False
+    return out
+
+
+@pytest.fixture(scope="module")
+def ts_file(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ts") / "in.ts")
+    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=28, gop=4))
+    base = (np.add.outer(np.arange(H), np.arange(W)) * 3 % 256).astype(
+        np.uint8)
+    u = np.full((H // 2, W // 2), 110, np.uint8)
+    v = np.full((H // 2, W // 2), 60, np.uint8)
+    out = pat() + pmt()
+    cc = 0
+    for i in range(N):
+        au = enc.encode_frame(np.roll(base, i, axis=1), u, v)
+        pts = 90000 + i * 3003
+        out += ts_packets(0x100, pes(0xE0, pts, au), cc)
+        cc += 200  # continuity counters are per-PID; parser ignores
+    with open(path, "wb") as f:
+        f.write(out)
+    return path
+
+
+def test_probe_opens_ts(ts_file):
+    from handbrake_tpu.sources.probe import open_source
+    src = open_source(ts_file)
+    assert type(src).__name__ == "TSDemuxer"
+    assert src.tracks[0].kind == "video"
+    assert src.tracks[0].codec == "h264"
+    assert (src.tracks[0].width, src.tracks[0].height) == (W, H)
+    src.close()
+
+
+def test_ts_packets_pts(ts_file):
+    from handbrake_tpu.sources.ts import TSDemuxer
+    d = TSDemuxer(ts_file)
+    pkts = list(d.packets())
+    assert len(pkts) == N
+    assert [b.pts for _, b in pkts] == [90000 + i * 3003 for i in range(N)]
+    # ES reassembly: every packet decodes through our own decoder
+    from handbrake_tpu.codecs.h264.decoder import H264Decoder
+    dec = H264Decoder()
+    frames = dec.decode(b"".join(b.data for _, b in pkts))
+    assert len(frames) == N
+    d.close()
+
+
+def test_ts_transcode(ts_file, tmp_path, monkeypatch):
+    monkeypatch.setenv("HB_TPU_DISABLE_DEVICE", "1")
+    from handbrake_tpu import work
+    from handbrake_tpu.job.schema import Job
+    from handbrake_tpu.sources.mp4 import MP4Demuxer
+    out = str(tmp_path / "o.mp4")
+    stats = work.do_job(Job(path=ts_file, file=out, mux="mp4", quality=28.0))
+    assert stats["frames_out"] == N
+    d = MP4Demuxer(out)
+    assert d.tracks[0].codec == "h264"
+    assert d.n_samples(0) == N
+
+
+def test_m2ts_192_byte_packets(ts_file, tmp_path):
+    from handbrake_tpu.sources.ts import TSDemuxer
+    data = open(ts_file, "rb").read()
+    m2 = b"".join(b"\x00\x00\x00\x00" + data[i:i + 188]
+                  for i in range(0, len(data), 188))
+    p = str(tmp_path / "in.m2ts")
+    open(p, "wb").write(m2)
+    d = TSDemuxer(p)
+    assert d.psz == 192
+    assert len(list(d.packets())) == N
