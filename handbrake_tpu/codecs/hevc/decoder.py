@@ -27,6 +27,7 @@ class HEVCDecoder:
         self.sps = None
         self.pps = None
         self.ref = None   # (y, u, v) int32 padded planes
+        self.bd = 8
 
     def decode(self, data: bytes):
         frames = []
@@ -43,6 +44,7 @@ class HEVCDecoder:
 
     def _decode_slice(self, rbsp: bytes, nal_type: int):
         sps, pps = self.sps, self.pps
+        self.bd = sps.bit_depth
         br = BitReader(rbsp)
         hdr = SliceHeader.parse(br, sps, pps, nal_type)
         qp = hdr.qp
@@ -68,9 +70,10 @@ class HEVCDecoder:
         self.ref = (y, u, v)
         W = sps.width - sps.crop_right
         H = sps.height - sps.crop_bottom
-        return (y[:H, :W].astype(np.uint8),
-                u[:H // 2, :W // 2].astype(np.uint8),
-                v[:H // 2, :W // 2].astype(np.uint8))
+        dt = np.uint8 if self.bd == 8 else np.uint16
+        return (y[:H, :W].astype(dt),
+                u[:H // 2, :W // 2].astype(dt),
+                v[:H // 2, :W // 2].astype(dt))
 
     def _decode_ctu(self, dec, st, y, u, v, ref, cx, cy, qp, stype, cw, ch):
         x0, y0 = cx * 32, cy * 32
@@ -122,13 +125,14 @@ class HEVCDecoder:
         cbf_v = dec.bin("cbf_chroma", 0)
         cbf_y = dec.bin("cbf_luma", 1)
 
+        bd = self.bd
         filt = P.filter_flag(mode, 32, 0)
-        left, tl, top = P.ref_samples(y, x0, y0, 32, filt)
-        pred_y = P.intra_pred(mode, left, tl, top, 32, 0)
-        lu, ltl, lto = P.ref_samples(u, cx0, cy0, 16, False)
-        pred_u = P.intra_pred(mode, lu, ltl, lto, 16, 1)
-        lvv, vtl, vto = P.ref_samples(v, cx0, cy0, 16, False)
-        pred_v = P.intra_pred(mode, lvv, vtl, vto, 16, 1)
+        left, tl, top = P.ref_samples(y, x0, y0, 32, filt, bd)
+        pred_y = P.intra_pred(mode, left, tl, top, 32, 0, bd)
+        lu, ltl, lto = P.ref_samples(u, cx0, cy0, 16, False, bd)
+        pred_u = P.intra_pred(mode, lu, ltl, lto, 16, 1, bd)
+        lvv, vtl, vto = P.ref_samples(v, cx0, cy0, 16, False, bd)
+        pred_v = P.intra_pred(mode, lvv, vtl, vto, 16, 1, bd)
 
         qpc = chroma_qp(qp)
         y[y0:y0 + 32, x0:x0 + 32] = self._recon_tu(
@@ -140,12 +144,13 @@ class HEVCDecoder:
         st.intra_mode[cy, cx] = mode
 
     def _recon_tu(self, dec, pred, cbf, qp, log2n, cidx):
+        bd = self.bd
         if not cbf:
-            return np.clip(pred, 0, 255)
+            return np.clip(pred, 0, (1 << bd) - 1)
         lv = decode_residual(dec, log2n, cidx)
-        d = T.dequant(np, lv, qp, log2n)
-        r = T.inv_transform(np, d[None], log2n)[0]
-        return np.clip(pred + r, 0, 255)
+        d = T.dequant(np, lv, qp, log2n, bd)
+        r = T.inv_transform(np, d[None], log2n, bd)[0]
+        return np.clip(pred + r, 0, (1 << bd) - 1)
 
     # -- inter ----------------------------------------------------------------
     def _decode_inter_ctu(self, dec, st, y, u, v, ref, cx, cy, qp):
@@ -171,9 +176,12 @@ class HEVCDecoder:
                 cbf_y = dec.bin("cbf_luma", 1)
         else:
             cbf_y = 0
-        pred_y = P.mc_luma(ref[0], PAD, x0, y0, 32, 32, mv[0], mv[1])
-        pred_u = P.mc_chroma(ref[1], PAD, cx0, cy0, 16, 16, mv[0], mv[1])
-        pred_v = P.mc_chroma(ref[2], PAD, cx0, cy0, 16, 16, mv[0], mv[1])
+        pred_y = P.mc_luma(ref[0], PAD, x0, y0, 32, 32, mv[0], mv[1],
+                           self.bd)
+        pred_u = P.mc_chroma(ref[1], PAD, cx0, cy0, 16, 16, mv[0], mv[1],
+                             self.bd)
+        pred_v = P.mc_chroma(ref[2], PAD, cx0, cy0, 16, 16, mv[0], mv[1],
+                             self.bd)
         qpc = chroma_qp(qp)
         y[y0:y0 + 32, x0:x0 + 32] = self._recon_tu(
             dec, pred_y, cbf_y, qp, 5, 0)
@@ -187,11 +195,13 @@ class HEVCDecoder:
     def _inter_recon(self, y, u, v, ref, x0, y0, mv):
         cx0, cy0 = x0 // 2, y0 // 2
         y[y0:y0 + 32, x0:x0 + 32] = P.mc_luma(ref[0], PAD, x0, y0, 32, 32,
-                                              mv[0], mv[1])
+                                              mv[0], mv[1], self.bd)
         u[cy0:cy0 + 16, cx0:cx0 + 16] = P.mc_chroma(ref[1], PAD, cx0, cy0,
-                                                    16, 16, mv[0], mv[1])
+                                                    16, 16, mv[0], mv[1],
+                                                    self.bd)
         v[cy0:cy0 + 16, cx0:cx0 + 16] = P.mc_chroma(ref[2], PAD, cx0, cy0,
-                                                    16, 16, mv[0], mv[1])
+                                                    16, 16, mv[0], mv[1],
+                                                    self.bd)
 
     def _read_mvd(self, dec):
         gx = dec.bin("mvd", 0)

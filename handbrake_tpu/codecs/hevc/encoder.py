@@ -67,6 +67,7 @@ class EncoderConfig:
     level_idc: int = 120
     lm: float | None = None
     backend: str = "host"   # "device" = batched jax CTU analysis for P frames
+    bit_depth: int = 8      # 8 (Main) or 10 (Main 10) — encx265 multi-depth
 
 
 def mpm_list(cand_a: int, cand_b: int):
@@ -130,7 +131,7 @@ def amvp_candidates(st: FrameState, cx: int, cy: int):
     return cands
 
 
-def motion_search(src, ref_pad, x0, y0, n, pred_mvs, rng_px, lm):
+def motion_search(src, ref_pad, x0, y0, n, pred_mvs, rng_px, lm, bd=8):
     """Quarter-pel ME minimizing SAD + lm * mvd_bits (vs best AMVP cand)."""
     H = ref_pad.shape[0] - 2 * PAD
     W = ref_pad.shape[1] - 2 * PAD
@@ -177,7 +178,7 @@ def motion_search(src, ref_pad, x0, y0, n, pred_mvs, rng_px, lm):
         for dy in (-phase, 0, phase):
             for dx in (-phase, 0, phase):
                 mv = (bmv[0] + dx, bmv[1] + dy)
-                blk = P.mc_luma(ref_pad, PAD, x0, y0, n, n, mv[0], mv[1])
+                blk = P.mc_luma(ref_pad, PAD, x0, y0, n, n, mv[0], mv[1], bd)
                 c = _sad(src, blk) + lm * mvd_cost(mv[0], mv[1])
                 if bcost is None or c < bcost:
                     cand, bcost = mv, c
@@ -194,19 +195,24 @@ class HEVCEncoder:
         self.ch = (cfg.height + 31) // 32
         self.W = self.cw * 32
         self.H = self.ch * 32
-        self.vps = VPS(level_idc=cfg.level_idc)
+        self.bd = cfg.bit_depth
+        if self.bd > 8 and cfg.backend == "device":
+            cfg.backend = "host"   # device CTU analyzer is 8-bit for now
+        self.vps = VPS(level_idc=cfg.level_idc, bit_depth=self.bd)
         self.sps = SPS(width=self.W, height=self.H,
                        crop_right=self.W - cfg.width,
                        crop_bottom=self.H - cfg.height,
                        level_idc=cfg.level_idc,
-                       vui_timing=(cfg.fps[1], cfg.fps[0]))
+                       vui_timing=(cfg.fps[1], cfg.fps[0]),
+                       bit_depth=self.bd)
         self.pps = PPS(init_qp=cfg.qp)
         self.frame_idx = 0
         self.poc = 0
         self.recon_y = None
         self.recon_u = None
         self.recon_v = None
-        self.lm = cfg.lm if cfg.lm is not None else 0.85 * 2 ** ((cfg.qp - 12) / 3.0)
+        self.lm = cfg.lm if cfg.lm is not None \
+            else 0.85 * 2 ** ((cfg.qp - 12) / 3.0) * (1 << (self.bd - 8))
         self._analyzer = None
         if cfg.backend == "device":
             from .encoder_tpu import build_ctu_analyzer
@@ -230,7 +236,7 @@ class HEVCEncoder:
         idr = (self.frame_idx % self.cfg.gop) == 0
         qp = self.cfg.qp if qp is None else int(qp)
         self.lm = self.cfg.lm if self.cfg.lm is not None \
-            else 0.85 * 2 ** ((qp - 12) / 3.0)
+            else 0.85 * 2 ** ((qp - 12) / 3.0) * (1 << (self.bd - 8))
         out = b""
         if idr:
             out += self.headers()
@@ -294,16 +300,19 @@ class HEVCEncoder:
                 inter_sad = float(dev["sad"][i])
             else:
                 mv = motion_search(src_y, ref[0], x0, y0, 32, amvp,
-                                   self.cfg.search_range, self.lm)
+                                   self.cfg.search_range, self.lm, self.bd)
                 inter_sad = None
-            pred_y = P.mc_luma(ref[0], PAD, x0, y0, 32, 32, mv[0], mv[1])
-            pred_u = P.mc_chroma(ref[1], PAD, cx0, cy0, 16, 16, mv[0], mv[1])
-            pred_v = P.mc_chroma(ref[2], PAD, cx0, cy0, 16, 16, mv[0], mv[1])
+            pred_y = P.mc_luma(ref[0], PAD, x0, y0, 32, 32, mv[0], mv[1],
+                               self.bd)
+            pred_u = P.mc_chroma(ref[1], PAD, cx0, cy0, 16, 16, mv[0],
+                                 mv[1], self.bd)
+            pred_v = P.mc_chroma(ref[2], PAD, cx0, cy0, 16, 16, mv[0],
+                                 mv[1], self.bd)
             if inter_sad is None:
                 inter_sad = _sad(src_y, pred_y)
             # intra fallback probe (cheap: DC only) when inter is poor
             use_intra = False
-            if inter_sad > 18.0 * 1024:
+            if inter_sad > 18.0 * 1024 * (1 << (self.bd - 8)):
                 imode, ipred, icost = self._intra_search(
                     new_y, st, cx, cy, src_y)
                 if icost < inter_sad:
@@ -340,8 +349,8 @@ class HEVCEncoder:
         best = None
         for m in CAND_MODES:
             filt = P.filter_flag(m, 32, 0)
-            left, tl, top = P.ref_samples(new_y, x0, y0, 32, filt)
-            pred = P.intra_pred(m, left, tl, top, 32, 0)
+            left, tl, top = P.ref_samples(new_y, x0, y0, 32, filt, self.bd)
+            pred = P.intra_pred(m, left, tl, top, 32, 0, self.bd)
             mpm = mpm_list(cand_a, P.DC)
             bits = 2 if m in mpm else 6
             c = _sad(src_y, pred) + self.lm * bits
@@ -383,8 +392,9 @@ class HEVCEncoder:
         # chroma prediction with DM mode
         pu, pv = [], []
         for plane, out in ((new_u, pu), (new_v, pv)):
-            left, tl, top = P.ref_samples(plane, cx0, cy0, 16, False)
-            out.append(P.intra_pred(mode, left, tl, top, 16, 1))
+            left, tl, top = P.ref_samples(plane, cx0, cy0, 16, False,
+                                          self.bd)
+            out.append(P.intra_pred(mode, left, tl, top, 16, 1, self.bd))
         pred_u, pred_v = pu[0], pv[0]
 
         lv_y, rec_y = self._code_tu(src_y, pred_y, qp, 5)
@@ -410,14 +420,15 @@ class HEVCEncoder:
         st.intra_mode[cy, cx] = mode
 
     def _code_tu(self, src, pred, qp, log2n):
+        bd = self.bd
         res = src.astype(np.int32) - pred
-        c = T.fwd_transform(np, res[None], log2n)[0]
-        lv = T.quant(np, c, qp, log2n, True)
+        c = T.fwd_transform(np, res[None], log2n, bd)[0]
+        lv = T.quant(np, c, qp, log2n, True, bd)
         if not lv.any():
-            return lv, np.clip(pred, 0, 255)
-        d = T.dequant(np, lv, qp, log2n)
-        r = T.inv_transform(np, d[None], log2n)[0]
-        return lv, np.clip(pred + r, 0, 255)
+            return lv, np.clip(pred, 0, (1 << bd) - 1)
+        d = T.dequant(np, lv, qp, log2n, bd)
+        r = T.inv_transform(np, d[None], log2n, bd)[0]
+        return lv, np.clip(pred + r, 0, (1 << bd) - 1)
 
     # -- inter ---------------------------------------------------------------
     def _write_inter_ctu(self, enc, st, cx, cy, src_y, src_u, src_v,
@@ -479,14 +490,15 @@ class HEVCEncoder:
         new_v[cy0:cy0 + 16, cx0:cx0 + 16] = rec_v
 
     def _code_tu_inter(self, src, pred, qp, log2n):
+        bd = self.bd
         res = src.astype(np.int32) - pred
-        c = T.fwd_transform(np, res[None], log2n)[0]
-        lv = T.quant(np, c, qp, log2n, False)
+        c = T.fwd_transform(np, res[None], log2n, bd)[0]
+        lv = T.quant(np, c, qp, log2n, False, bd)
         if not lv.any():
-            return lv, np.clip(pred, 0, 255)
-        d = T.dequant(np, lv, qp, log2n)
-        r = T.inv_transform(np, d[None], log2n)[0]
-        return lv, np.clip(pred + r, 0, 255)
+            return lv, np.clip(pred, 0, (1 << bd) - 1)
+        d = T.dequant(np, lv, qp, log2n, bd)
+        r = T.inv_transform(np, d[None], log2n, bd)[0]
+        return lv, np.clip(pred + r, 0, (1 << bd) - 1)
 
     def _write_mvd(self, enc, dx, dy):
         ax, ay = abs(dx), abs(dy)

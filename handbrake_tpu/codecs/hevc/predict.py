@@ -1,7 +1,8 @@
 """HEVC intra prediction (8.4.4.2) and inter sub-pel interpolation (8.5.4).
 
 Host reference arithmetic in numpy; the device path (encoder_tpu.py) mirrors
-the same integer math batched over CTUs. 8-bit 4:2:0 only.
+the same integer math batched over CTUs. 4:2:0, bit depth parameterized
+(8/10/12 — one source, templates/*_template.c analog).
 """
 from __future__ import annotations
 
@@ -17,7 +18,8 @@ PLANAR, DC, HOR, VER = 0, 1, 10, 26
 # filtering (8.4.4.2.3). Returns (left[2n], topleft, top[2n]) int32 arrays
 # where left runs downward from y0 and top rightward from x0.
 # ---------------------------------------------------------------------------
-def ref_samples(plane, x0: int, y0: int, n: int, filt: bool):
+def ref_samples(plane, x0: int, y0: int, n: int, filt: bool,
+                bd: int = 8):
     H, W = plane.shape
     # gather raw samples with availability; reconstruction is raster-scan
     # CTU order so: left column available if x0>0 (rows < H); top row if
@@ -41,7 +43,7 @@ def ref_samples(plane, x0: int, y0: int, n: int, filt: bool):
     # substitution (8.4.4.2.2): scan order p[-1][2n-1..-1], p[0..2n-1][-1]
     scan = list(left[::-1]) + [tl] + list(top)
     if all(v < 0 for v in scan):
-        scan = [128] * len(scan)
+        scan = [1 << (bd - 1)] * len(scan)
     else:
         first = next(i for i, v in enumerate(scan) if v >= 0)
         for i in range(first - 1, -1, -1):
@@ -75,7 +77,8 @@ def filter_flag(mode: int, n: int, cidx: int) -> bool:
     return min_dist > thresh
 
 
-def intra_pred(mode: int, left, tl, top, n: int, cidx: int = 0):
+def intra_pred(mode: int, left, tl, top, n: int, cidx: int = 0,
+               bd: int = 8):
     """Predict an n x n block. left/top are the (possibly filtered)
     reference arrays of length 2n; returns (n, n) int32."""
     if mode == PLANAR:
@@ -115,7 +118,8 @@ def intra_pred(mode: int, left, tl, top, n: int, cidx: int = 0):
                 b = ref[base + 1:base + n + 1]
                 p[y, :] = ((32 - frac) * a + frac * b + 16) >> 5
         if mode == VER and cidx == 0 and n < 32:
-            p[:, 0] = np.clip(top[0] + ((left[:n] - tl) >> 1), 0, 255)
+            p[:, 0] = np.clip(top[0] + ((left[:n] - tl) >> 1), 0,
+                              (1 << bd) - 1)
     else:  # horizontal-ish: main ref = left
         ref = np.zeros(3 * n + 1, np.int32)
         ref[n:3 * n + 1] = np.concatenate(([tl], left[:2 * n]))
@@ -135,8 +139,9 @@ def intra_pred(mode: int, left, tl, top, n: int, cidx: int = 0):
                 b = ref[base + 1:base + n + 1]
                 p[:, x] = ((32 - frac) * a + frac * b + 16) >> 5
         if mode == HOR and cidx == 0 and n < 32:
-            p[0, :] = np.clip(left[0] + ((top[:n] - tl) >> 1), 0, 255)
-    return np.clip(p, 0, 255)
+            p[0, :] = np.clip(left[0] + ((top[:n] - tl) >> 1), 0,
+                              (1 << bd) - 1)
+    return np.clip(p, 0, (1 << bd) - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -147,48 +152,55 @@ def pad_plane(plane, pad: int):
 
 
 def mc_luma(ref_pad, pad: int, x0: int, y0: int, w: int, h: int,
-            mvx: int, mvy: int):
-    """Motion-compensate a w x h luma block; mv in quarter-pel units."""
+            mvx: int, mvy: int, bd: int = 8):
+    """Motion-compensate a w x h luma block; mv in quarter-pel units.
+    Spec 8.5.4.2.2.1: horizontal stage truncates by (bd-8), vertical by 6,
+    then weighted-pred rounding by (14-bd) — the combined single rounding
+    shift is arithmetically identical at every depth."""
     ix, fx = mvx >> 2, mvx & 3
     iy, fy = mvy >> 2, mvy & 3
     xs = x0 + ix + pad
     ys = y0 + iy + pad
+    maxv = (1 << bd) - 1
     if fx == 0 and fy == 0:
         return ref_pad[ys:ys + h, xs:xs + w].astype(np.int32)
     win = ref_pad[ys - 3:ys + h + 4, xs - 3:xs + w + 4].astype(np.int32)
+    s1 = bd - 8
     if fx:
         f = LUMA_FILTER[fx]
-        tmp = sum(int(f[k]) * win[:, k:k + w] for k in range(8))
+        tmp = sum(int(f[k]) * win[:, k:k + w] for k in range(8)) >> s1
     else:
-        tmp = win[:, 3:3 + w] << 6
+        tmp = win[:, 3:3 + w] << (6 - s1)
     if fy:
         f = LUMA_FILTER[fy]
         acc = sum(int(f[k]) * tmp[k:k + h, :] for k in range(8))
-        out = (acc + (1 << 11)) >> 12
+        out = (acc + (1 << (19 - bd))) >> (20 - bd)
     else:
-        out = (tmp[3:3 + h, :] + 32) >> 6
-    return np.clip(out, 0, 255)
+        out = (tmp[3:3 + h, :] + (1 << (13 - bd))) >> (14 - bd)
+    return np.clip(out, 0, maxv)
 
 
 def mc_chroma(ref_pad, pad: int, x0: int, y0: int, w: int, h: int,
-              mvx: int, mvy: int):
+              mvx: int, mvy: int, bd: int = 8):
     """Chroma MC: same luma mv reinterpreted as eighth-pel chroma units."""
     ix, fx = mvx >> 3, mvx & 7
     iy, fy = mvy >> 3, mvy & 7
     xs = x0 + ix + pad
     ys = y0 + iy + pad
+    maxv = (1 << bd) - 1
     if fx == 0 and fy == 0:
         return ref_pad[ys:ys + h, xs:xs + w].astype(np.int32)
     win = ref_pad[ys - 1:ys + h + 2, xs - 1:xs + w + 2].astype(np.int32)
+    s1 = bd - 8
     if fx:
         f = CHROMA_FILTER[fx]
-        tmp = sum(int(f[k]) * win[:, k:k + w] for k in range(4))
+        tmp = sum(int(f[k]) * win[:, k:k + w] for k in range(4)) >> s1
     else:
-        tmp = win[:, 1:1 + w] << 6
+        tmp = win[:, 1:1 + w] << (6 - s1)
     if fy:
         f = CHROMA_FILTER[fy]
         acc = sum(int(f[k]) * tmp[k:k + h, :] for k in range(4))
-        out = (acc + (1 << 11)) >> 12
+        out = (acc + (1 << (19 - bd))) >> (20 - bd)
     else:
-        out = (tmp[1:1 + h, :] + 32) >> 6
-    return np.clip(out, 0, 255)
+        out = (tmp[1:1 + h, :] + (1 << (13 - bd))) >> (14 - bd)
+    return np.clip(out, 0, maxv)

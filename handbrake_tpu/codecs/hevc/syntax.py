@@ -33,13 +33,12 @@ def parse_nal_header(data: bytes) -> int:
     return (data[0] >> 1) & 0x3F
 
 
-def _write_ptl(bw: BitWriter, level_idc: int):
-    """profile_tier_level, general only (Main profile, Main tier)."""
+def _write_ptl(bw: BitWriter, level_idc: int, profile_idc: int = 1):
+    """profile_tier_level, general only (Main / Main 10, Main tier)."""
     bw.put(0, 2)           # general_profile_space
     bw.put(0, 1)           # general_tier_flag
-    bw.put(1, 5)           # general_profile_idc = Main
-    flags = 1 << (31 - 1)  # compatibility flag[1]
-    bw.put(flags, 32)
+    bw.put(profile_idc, 5)  # 1 = Main, 2 = Main 10
+    bw.put(1 << (31 - profile_idc), 32)  # compatibility flag[profile_idc]
     bw.put(1, 1)           # progressive_source
     bw.put(0, 1)           # interlaced_source
     bw.put(1, 1)           # non_packed_constraint
@@ -61,6 +60,7 @@ def _read_ptl(br: BitReader) -> int:
 @dataclasses.dataclass
 class VPS:
     level_idc: int = 120
+    bit_depth: int = 8
 
     def to_nal(self) -> bytes:
         bw = BitWriter()
@@ -70,7 +70,7 @@ class VPS:
         bw.put(0, 3)   # vps_max_sub_layers_minus1
         bw.put(1, 1)   # vps_temporal_id_nesting_flag
         bw.put(0xFFFF, 16)
-        _write_ptl(bw, self.level_idc)
+        _write_ptl(bw, self.level_idc, 2 if self.bit_depth > 8 else 1)
         bw.put(1, 1)   # vps_sub_layer_ordering_info_present
         bw.ue(1)       # max_dec_pic_buffering_minus1
         bw.ue(0)       # max_num_reorder_pics
@@ -92,6 +92,7 @@ class SPS:
     level_idc: int = 120
     log2_max_poc_lsb: int = 8
     vui_timing: tuple | None = None  # (num_units_in_tick, time_scale)
+    bit_depth: int = 8             # 8 (Main) or 10 (Main 10)
 
     LOG2_CTB = 5                   # CTB = min CB = 32
 
@@ -100,7 +101,7 @@ class SPS:
         bw.put(0, 4)   # sps_video_parameter_set_id
         bw.put(0, 3)   # sps_max_sub_layers_minus1
         bw.put(1, 1)   # sps_temporal_id_nesting_flag
-        _write_ptl(bw, self.level_idc)
+        _write_ptl(bw, self.level_idc, 2 if self.bit_depth > 8 else 1)
         bw.ue(0)       # sps_seq_parameter_set_id
         bw.ue(1)       # chroma_format_idc = 4:2:0
         bw.ue(self.width)
@@ -113,8 +114,8 @@ class SPS:
             bw.ue(self.crop_bottom // 2)
         else:
             bw.put(0, 1)
-        bw.ue(0)       # bit_depth_luma_minus8
-        bw.ue(0)       # bit_depth_chroma_minus8
+        bw.ue(self.bit_depth - 8)   # bit_depth_luma_minus8
+        bw.ue(self.bit_depth - 8)   # bit_depth_chroma_minus8
         bw.ue(self.log2_max_poc_lsb - 4)
         bw.put(1, 1)   # sps_sub_layer_ordering_info_present
         bw.ue(1)       # max_dec_pic_buffering_minus1
@@ -171,7 +172,9 @@ class SPS:
             cr = br.ue() * 2
             br.ue()
             cb = br.ue() * 2
-        assert br.ue() == 0 and br.ue() == 0, "8-bit only"
+        bd = br.ue() + 8
+        bdc = br.ue() + 8
+        assert bd == bdc and bd in (8, 10, 12), "luma/chroma depth must match"
         log2poc = br.ue() + 4
         if br.u(1):
             br.ue()
@@ -196,7 +199,7 @@ class SPS:
                 vui = (br.u(32), br.u(32))
         return cls(width=w, height=h, crop_right=cr, crop_bottom=cb,
                    level_idc=level, log2_max_poc_lsb=log2poc,
-                   vui_timing=vui)
+                   vui_timing=vui, bit_depth=bd)
 
 
 @dataclasses.dataclass

@@ -4,10 +4,13 @@ Array-module agnostic (pass numpy or jax.numpy as ``xp``), batched over
 leading dims so the same code is the host reference and the TPU device path:
 NxN transforms are integer matmuls -> MXU-friendly einsums under jit.
 
-Spec refs: scaling 8.6.3 (levScale, bdShift), inverse transform 8.6.4
-(shift 7 then 20-BitDepth with 16-bit clamp); forward transform/quant use
-the HM-compatible shifts (log2N-1, log2N+6; qbits = 14 + qp/6 + 7 - log2N)
-so dequant lands on the spec scale. 8-bit only for now.
+Spec refs: scaling 8.6.3 (levScale, bdShift = BitDepth + log2N - 5),
+inverse transform 8.6.4 (shift 7 then 20-BitDepth with 16-bit clamp);
+forward transform/quant use the HM-compatible shifts
+(shift1 = log2N + BitDepth - 9, shift2 = log2N + 6;
+qbits = 14 + qp/6 + 15 - BitDepth - log2N) so dequant lands on the spec
+scale. Bit depth is a parameter — one source for 8/10/12-bit (the
+templates/*_template.c analog, encx265.c multi-depth role).
 """
 from __future__ import annotations
 
@@ -18,11 +21,11 @@ from .tables import LEV_SCALE, QUANT_SCALE, dct_matrix
 _T = {n: dct_matrix(n) for n in (4, 8, 16, 32)}
 
 
-def fwd_transform(xp, d, log2n: int):
+def fwd_transform(xp, d, log2n: int, bd: int = 8):
     """Forward 2D DCT: d (..., N, N) int32 residual -> coeffs int32."""
     n = 1 << log2n
     t = xp.asarray(_T[n])
-    s1 = log2n - 1            # bitDepth 8
+    s1 = log2n + bd - 9
     s2 = log2n + 6
     e = (xp.einsum("ij,...jk->...ik", t, d.astype(xp.int32))
          + (1 << (s1 - 1))) >> s1
@@ -30,18 +33,23 @@ def fwd_transform(xp, d, log2n: int):
     return c
 
 
-def inv_transform(xp, c, log2n: int):
+def inv_transform(xp, c, log2n: int, bd: int = 8):
     """Inverse 2D DCT (8.6.4): coeffs -> residual, 16-bit clamps."""
     n = 1 << log2n
     t = xp.asarray(_T[n])
+    s2 = 20 - bd
     e = (xp.einsum("ji,...jk->...ik", t, c.astype(xp.int32)) + 64) >> 7
     e = xp.clip(e, -32768, 32767)
-    r = (xp.einsum("...ij,jk->...ik", e, t) + (1 << 11)) >> 12
+    r = (xp.einsum("...ij,jk->...ik", e, t) + (1 << (s2 - 1))) >> s2
     return xp.clip(r, -32768, 32767)
 
 
-def quant(xp, c, qp: int, log2n: int, intra: bool):
-    """Forward quant (HM xQuant, flat scaling list)."""
+def quant(xp, c, qp: int, log2n: int, intra: bool, bd: int = 8):
+    """Forward quant (HM xQuant, flat scaling list). qbits is depth-
+    independent, mirroring the depth-independent dequant shift: the bit
+    depth lives only in the forward-transform stage-1 shift and the
+    inverse-transform output shift (validated vs libavcodec at 8/10-bit)."""
+    del bd
     qbits = 14 + qp // 6 + (7 - log2n)
     scale = int(QUANT_SCALE[qp % 6])
     f = (171 if intra else 85) << (qbits - 9)
@@ -51,8 +59,14 @@ def quant(xp, c, qp: int, log2n: int, intra: bool):
     return xp.where(c < 0, -lv, lv)
 
 
-def dequant(xp, lv, qp: int, log2n: int):
-    """Scaling process (8.6.3): m=16 flat, bdShift = log2n + 3 at 8-bit."""
+def dequant(xp, lv, qp: int, log2n: int, bd: int = 8):
+    """Scaling process (8.6.3): m=16 flat, bdShift = log2N + 3.
+
+    The dequant shift is depth-INdependent (the BitDepth term lives in the
+    inverse-transform output stage, 20-BitDepth); validated bit-exactly
+    against libavcodec at 8- and 10-bit. `bd` kept for signature symmetry.
+    """
+    del bd
     bd_shift = log2n + 3
     scale = 16 * int(LEV_SCALE[qp % 6]) << (qp // 6)
     d = (lv.astype(xp.int64) * scale + (1 << (bd_shift - 1))) >> bd_shift

@@ -55,8 +55,9 @@ def create_video_encoder(job: Job, width: int, height: int,
         return H264Encoder(cfg)
     if job.vcodec in ("hevc_tpu", "x265", "hevc", "h265"):
         from .codecs.hevc.encoder import EncoderConfig, HEVCEncoder
+        bd = 10 if "10" in (job.encoder_profile or "") else 8
         cfg = EncoderConfig(
-            width=width, height=height, qp=qp, gop=gop,
+            width=width, height=height, qp=qp, gop=gop, bit_depth=bd,
             fps=(vrate.numerator, vrate.denominator), backend=backend)
         return HEVCEncoder(cfg)
     if job.vcodec in ("av1_tpu", "svt_av1", "av1"):
@@ -297,6 +298,16 @@ def _flush_tail(sync) -> list:
 
 def _encode_video(venc, fb, mux, stats, progress, rc):
     y, u, v = (np.asarray(p) for p in fb.planes)
+    enc_bd = getattr(venc, "bd", 8)
+    src_bd = fb.pix_fmt.bit_depth if fb.pix_fmt else 8
+    if enc_bd != src_bd:
+        # FORMAT-filter role (work.c:1506 auto pix-fmt match): scale sample
+        # range to the encoder's bit depth
+        sh = abs(enc_bd - src_bd)
+        if enc_bd > src_bd:
+            y, u, v = (p.astype(np.uint16) << sh for p in (y, u, v))
+        else:
+            y, u, v = ((p >> sh).astype(np.uint8) for p in (y, u, v))
     is_idr = (venc.frame_idx % venc.cfg.gop) == 0
     qp = rc.frame_qp(is_idr)
     au = venc.encode_frame(y, u, v, qp=qp)

@@ -68,11 +68,13 @@ class FFDecoder:
         self.codec_name = codec
         a = _avcodec
         a.avcodec_find_decoder.restype = C.c_void_p
+        a.avcodec_find_decoder_by_name.restype = C.c_void_p
         a.avcodec_alloc_context3.restype = C.c_void_p
         a.av_packet_alloc.restype = C.c_void_p
         _avutil.av_frame_alloc.restype = C.c_void_p
         _avutil.av_malloc.restype = C.c_void_p
-        self.codec = a.avcodec_find_decoder(_AV_CODEC_IDS[codec])
+        self.codec = a.avcodec_find_decoder_by_name(codec.encode()) \
+            or a.avcodec_find_decoder(_AV_CODEC_IDS.get(codec, 0))
         if not self.codec:
             raise RuntimeError(f"no decoder for {codec}")
         self.ctx = a.avcodec_alloc_context3(C.c_void_p(self.codec))
@@ -193,9 +195,9 @@ class FFDecoder:
         pass
 
 
-def decode_yuv(stream: bytes, codec: str = "h264") -> list:
+def decode_yuv(stream: bytes, codec: str = "h264", bits: int = 8) -> list:
     """One-shot exact-YUV decode of an elementary stream."""
-    return FFDecoder(codec).decode(stream)
+    return FFDecoder(codec, bits=bits).decode(stream)
 
 
 def available() -> bool:

@@ -315,3 +315,85 @@ def test_hevc_quality_monotone_in_qp():
         psnrs.append(10 * np.log10(255 ** 2 / max(mse, 1e-9)))
     assert sizes[0] > sizes[1]      # lower QP -> more bits
     assert psnrs[0] > psnrs[1]      # lower QP -> higher quality
+
+
+# ---------------------------------------------------------------------------
+# 10-bit (Main 10) — encx265.c multi-depth analog (BASELINE.md config 3)
+# ---------------------------------------------------------------------------
+def _gradient_frames10(W, H, n, rng):
+    base = ((np.add.outer(np.arange(H), np.arange(W)) * 7) % 1024).astype(
+        np.uint16)
+    out = []
+    for i in range(n):
+        y = np.clip(np.roll(base, 3 * i, axis=1).astype(np.int32)
+                    + rng.integers(-12, 13, (H, W)), 0, 1023).astype(
+            np.uint16)
+        u = np.full((H // 2, W // 2), 512 + 8 * i, np.uint16)
+        v = np.full((H // 2, W // 2), 400, np.uint16)
+        out.append((y, u, v))
+    return out
+
+
+def test_hevc10_roundtrip_bit_exact():
+    rng = np.random.default_rng(5)
+    W, H = 96, 64
+    enc = HEVCEncoder(EncoderConfig(width=W, height=H, qp=30, gop=3,
+                                    bit_depth=10))
+    frames = _gradient_frames10(W, H, 5, rng)
+    stream = b""
+    recons = []
+    for y, u, v in frames:
+        stream += enc.encode_frame(y, u, v)
+        recons.append((enc.recon_y[:H, :W].astype(np.uint16),
+                       enc.recon_u[:H // 2, :W // 2].astype(np.uint16),
+                       enc.recon_v[:H // 2, :W // 2].astype(np.uint16)))
+    dec = HEVCDecoder()
+    out = dec.decode(stream)
+    assert dec.sps.bit_depth == 10
+    assert len(out) == len(frames)
+    for dec_f, rec_f in zip(out, recons):
+        for a, b in zip(dec_f, rec_f):
+            assert a.dtype == np.uint16
+            assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("qp", [24, 34])
+def test_hevc10_ffmpeg_conformance(qp):
+    """Main-10 streams must decode BIT-EXACTLY in libavcodec (all planes,
+    10-bit) — pins the depth-parameterized transforms/MC/prediction."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    import ffdec
+    if not ffdec.available():
+        pytest.skip("libavcodec oracle unavailable")
+    rng = np.random.default_rng(100 + qp)
+    W, H = 96, 64
+    enc = HEVCEncoder(EncoderConfig(width=W, height=H, qp=qp, gop=3,
+                                    bit_depth=10))
+    frames = _gradient_frames10(W, H, 6, rng)
+    stream = b""
+    recons = []
+    for y, u, v in frames:
+        stream += enc.encode_frame(y, u, v)
+        recons.append((enc.recon_y[:H, :W], enc.recon_u[:H // 2, :W // 2],
+                       enc.recon_v[:H // 2, :W // 2]))
+    out = ffdec.decode_yuv(stream, "hevc", bits=10)
+    # hevc emits in decode order == output order here (no reorder)
+    assert len(out) == len(frames)
+    for i, ((fy, fu, fv), (ry, ru, rv)) in enumerate(zip(out, recons)):
+        assert np.array_equal(np.asarray(fy, np.int32), ry), f"f{i} luma"
+        assert np.array_equal(np.asarray(fu, np.int32), ru), f"f{i} cb"
+        assert np.array_equal(np.asarray(fv, np.int32), rv), f"f{i} cr"
+
+
+def test_hevc10_quality_scales():
+    rng = np.random.default_rng(9)
+    W, H = 64, 64
+    enc = HEVCEncoder(EncoderConfig(width=W, height=H, qp=24, gop=4,
+                                    bit_depth=10))
+    frames = _gradient_frames10(W, H, 4, rng)
+    for y, u, v in frames:
+        enc.encode_frame(y, u, v)
+        err = np.abs(enc.recon_y[:H, :W].astype(int)
+                     - y.astype(int)).mean()
+        assert err < 12.0  # ~3 8-bit units at qp24

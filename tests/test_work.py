@@ -215,3 +215,27 @@ def test_do_job_with_audio_flac(tmp_path):
     assert got.shape == ref.shape
     assert np.abs(got - ref).max() <= 1
     d.close()
+
+
+def test_do_job_hevc_main10(y4m_src, tmp_path):
+    """BASELINE config-3 shape: 10-bit HEVC encode from an 8-bit source
+    (FORMAT-filter range scaling), decodable by our own decoder."""
+    out = str(tmp_path / "out10.mkv")
+    j = Job(path=y4m_src, file=out, mux="mkv", quality=30.0,
+            vcodec="hevc_tpu")
+    j.encoder_profile = "main10"
+    stats = work.do_job(j)
+    assert stats["frames_out"] == N
+    d = MKVDemuxer(out)
+    assert d.tracks[0].codec == "hevc"
+    vdec = create_video_decoder("hevc", d.tracks[0].extradata)
+    frames = []
+    for trk, pkt in d.packets():
+        if d.tracks[trk].kind == "video":
+            frames.extend(f.planes for f in vdec.feed(pkt))
+    assert vdec.dec.sps.bit_depth == 10
+    assert len(frames) == N
+    assert frames[0][0].dtype == np.uint16
+    # range-scaled content: mean around 8-bit source mean << 2
+    base = (np.add.outer(np.arange(H), np.arange(W)) * 3 % 256)
+    assert abs(float(frames[0][0].mean()) - base.mean() * 4) < 40
