@@ -427,6 +427,24 @@ class H264Encoder:
             p.src[0], p.src[1], p.src[2], p.dev, p.qp,
             frame_num=p.frame_num)
 
+    def encode_p_from_analysis(self, yp, up, vp, dev, qp=None) -> bytes:
+        """Entropy-code one P frame from externally computed analysis
+        arrays (the GOP-parallel path, parallel/gop.py: analysis ran in a
+        sharded batch; this owns the per-gop sequential walk + state).
+        yp/up/vp must be MB-aligned planes; dev holds this frame's
+        analyzer outputs (host or device arrays)."""
+        qp = self.cfg.qp if qp is None else int(qp)
+        self.recon_y = dev["recon_y"]
+        self.recon_u = dev["urec"]
+        self.recon_v = dev["vrec"]
+        out = self._encode_slice_device(yp, up, vp, dev, qp,
+                                        frame_num=self.frame_num)
+        self.frame_num = (self.frame_num + 1) % \
+            (1 << self.sps.log2_max_frame_num)
+        self.frame_idx += 1
+        self.last_frame_was_idr = False
+        return out
+
     def _propagate_refs(self, old_dev, new_refs):
         """Re-point everything that referenced old_dev's recon arrays."""
         for q in self._queue:

@@ -1,0 +1,92 @@
+"""GOP-parallel transcode across the mesh gop axis (SURVEY §2.8):
+keyframe-aligned chunking, SPMD analysis, rank-0 bitstream gather, mux,
+and bit-exactness against the serial per-chunk encode. Also the two-pass
+rate-stats psum exchange."""
+import numpy as np
+import pytest
+
+from handbrake_tpu.codecs.h264.decoder import H264Decoder
+from handbrake_tpu.codecs.h264.encoder import EncoderConfig, H264Encoder
+from handbrake_tpu.parallel.gop import (encode_gop_parallel,
+                                        exchange_rc_stats, split_gops)
+from handbrake_tpu.parallel.mesh import make_mesh
+
+W, H, N = 64, 48, 8
+
+
+def _frames(n):
+    base = (np.add.outer(np.arange(H), np.arange(W)) * 3 % 256).astype(
+        np.uint8)
+    return [(np.roll(base, i, axis=1),
+             np.full((H // 2, W // 2), 110 + i, np.uint8),
+             np.full((H // 2, W // 2), 60, np.uint8)) for i in range(n)]
+
+
+def test_split_gops():
+    assert split_gops(8, 2) == [(0, 4), (4, 4)]
+    assert split_gops(7, 3) == [(0, 3), (3, 2), (5, 2)]
+
+
+def test_gop_parallel_bit_exact_and_muxes(tmp_path):
+    frames = _frames(N)
+    mesh = make_mesh(2, tile=1)
+    assert mesh.shape["gop"] == 2
+    streams, full = encode_gop_parallel(frames, W, H, 28, mesh)
+    assert len(streams) == 2
+
+    # serial reference: same chunking, one encoder per chunk
+    ref = b""
+    for (s, ln) in split_gops(N, 2):
+        enc = H264Encoder(EncoderConfig(width=W, height=H, qp=28, gop=ln,
+                                        backend="device"))
+        for i in range(s, s + ln):
+            ref += enc.encode_frame(*frames[i])
+    assert full == ref, "gop-parallel encode must be bit-exact vs serial"
+
+    # decode the gathered stream: every frame present and faithful
+    dec = H264Decoder().decode(full)
+    assert len(dec) == N
+    for i, (dy, du, dv) in enumerate(dec):
+        err = np.abs(dy.astype(int) - frames[i][0].astype(int)).mean()
+        assert err < 6.0, f"frame {i} err {err}"
+
+    # mux the gathered segments (rank-0 muxcommon role)
+    from handbrake_tpu.mux.mp4 import MP4Writer
+    out = str(tmp_path / "gop.mp4")
+    w = MP4Writer(out)
+    t = w.add_video_track(codec="h264", width=W, height=H)
+    dec2 = H264Decoder()
+    offset = 0
+    for g, seg in enumerate(streams):
+        frames_g = dec2.decode(seg)
+        # one sample per frame; IDR at each segment start
+        from handbrake_tpu.codecs.h264.bits import split_annexb
+        aus = []
+        cur = b""
+        for nal in split_annexb(seg):
+            cur += b"\x00\x00\x00\x01" + nal
+            if (nal[0] & 0x1F) in (1, 5):
+                aus.append(cur)
+                cur = b""
+        for k, au in enumerate(aus):
+            w.write_sample(t, au, duration=3003, sync=(k == 0), annexb=True)
+        offset += len(frames_g)
+    w.finalize()
+    from handbrake_tpu.sources.mp4 import MP4Demuxer
+    d = MP4Demuxer(out)
+    assert d.n_samples(0) == N
+
+
+def test_gop_parallel_uneven_chunks():
+    frames = _frames(7)
+    mesh = make_mesh(2, tile=1)
+    streams, full = encode_gop_parallel(frames, W, H, 30, mesh)
+    dec = H264Decoder().decode(full)
+    assert len(dec) == 7
+
+
+def test_rc_stats_exchange():
+    mesh = make_mesh(4, tile=1)
+    alloc = exchange_rc_stats(mesh, np.array([1.0, 2.0, 3.0, 2.0]), 8000.0)
+    np.testing.assert_allclose(alloc, [1000.0, 2000.0, 3000.0, 2000.0],
+                               rtol=1e-5)
