@@ -23,12 +23,16 @@ class _MuxTrack:
     queue: list
     eof: bool = False
     written_through: int = 0
+    write: object = None        # optional per-track write callable(buf)
 
 
 class Muxer:
     """Feed with mux_queue(track, buf) / mux_eof(track); drives a writer
     exposing write_sample(track_idx, data, duration, sync, cts_offset) —
-    the MP4Writer/MKVWriter adapters below normalize the two APIs."""
+    the MP4Writer/MKVWriter adapters below normalize the two APIs. A track
+    may instead carry its own write(buf) callable (the work pipeline routes
+    through its format adapter that way) — the interleave engine is the
+    same either way."""
 
     def __init__(self, writer, kind: str):
         self.writer = writer
@@ -37,8 +41,8 @@ class Muxer:
         self.chunk_end = INTERLEAVE_TICKS
         self.frames_muxed = 0
 
-    def add_track(self, writer_track_idx: int) -> int:
-        self.tracks.append(_MuxTrack(writer_track_idx, []))
+    def add_track(self, writer_track_idx: int = 0, write=None) -> int:
+        self.tracks.append(_MuxTrack(writer_track_idx, [], write=write))
         return len(self.tracks) - 1
 
     def queue(self, track: int, buf: Buffer):
@@ -71,6 +75,10 @@ class Muxer:
             self.chunk_end += INTERLEAVE_TICKS
 
     def _write(self, t: _MuxTrack, buf: Buffer):
+        if t.write is not None:
+            t.write(buf)
+            self.frames_muxed += 1
+            return
         dur = buf.duration or 0
         sync = bool(buf.frametype & 0x3)  # IDR|I
         cts = buf.renderOffset or 0
@@ -91,4 +99,5 @@ class Muxer:
         for t in self.tracks:
             while t.queue:
                 self._write(t, t.queue.pop(0))
-        self.writer.finalize()
+        if self.writer is not None:
+            self.writer.finalize()

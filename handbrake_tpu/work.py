@@ -203,7 +203,10 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
         mux = _MuxAdapter(job, out_fi, audio_sel, src, aencs,
                           sub_specs=sub_specs)
 
-    # ---- streaming loop ----
+    # ---- threaded stage graph (work.c:2242-2280: one thread per work
+    # object, bounded FIFOs between; reader → decode+sync → filters+encode
+    # → mux interleave). IO, device analysis, host entropy coding and mux
+    # overlap across the four threads; fifo capacity is the backpressure.
     stats = {"frames_in": 0, "frames_out": 0, "bytes_out": 0}
     nframes = getattr(src, "n_frames", 0) or (
         getattr(src, "duration", 0) * out_vrate.numerator
@@ -215,27 +218,30 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
         start_state = src.seek(pts_start)
     it = src.packets(start_state) if start_state is not None \
         else src.packets()
-    for trk, pkt in it:
-        if pause is not None:
-            pause.wait()        # hb_pause: stall between frames
-        if die is not None and die.is_set():
-            break
-        if trk == video_track:
-            frames = [pkt] if pkt.planes is not None else vdec.feed(pkt)
-            for f in frames:
-                sync.queue(v_sync, f)
-                stats["frames_in"] += 1
-        elif trk in adecs:
-            for ab in adecs[trk].feed(pkt):
-                sync.queue(a_sync[trk], ab)
-        _drain(sync, graph, venc, aencs, a_sync, mux, stats, progress, rc,
-               sub_specs=sub_specs, out_wh=(out_w, out_h))
-    # ---- flush ----
-    for idx in range(len(sync.streams)):
-        sync.set_eof(idx)
-    _drain(sync, graph, venc, aencs, a_sync, mux, stats, progress, rc,
-           flush=True, sub_specs=sub_specs, out_wh=(out_w, out_h))
-    mux.finalize()
+
+    from .core.pipeline import Pipeline
+    pl = Pipeline()
+    fifo_raw = pl.make_fifo(32, "raw")       # FIFO_LARGE (work.c:40-47)
+    fifo_sync = pl.make_fifo(32, "sync")
+    fifo_enc = pl.make_fifo(32, "enc")
+
+    reader = _ReaderStage(it, die, pause)
+    reader.fifo_out = fifo_raw
+    decsync = _DecodeSyncStage(video_track, vdec, adecs, sync, v_sync,
+                               a_sync, stats)
+    decsync.fifo_in, decsync.fifo_out = fifo_raw, fifo_sync
+    encst = _EncodeStage(graph, venc, aencs, rc, stats, progress,
+                         sub_specs, (out_w, out_h))
+    encst.fifo_in, encst.fifo_out = fifo_sync, fifo_enc
+    muxst = _MuxStage(mux, aencs)
+    muxst.fifo_in = fifo_enc
+
+    for w in (reader, decsync, encst, muxst):
+        pl.add_work(w)
+    pl.run()          # joins on the mux thread (work.c:2287)
+    if pl.error is not None:
+        raise pl.error
+
     if job.pass_id == 1:
         # hand measured complexity to the final pass (hb_interjob_t role)
         job.interjob["rc_stats"] = rc.stats
@@ -249,73 +255,214 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
 _SUB_SID0 = 1000   # subtitle stream ids live above source track indexes
 
 
-def _drain(sync, graph, venc, aencs, a_sync, mux, stats, progress, rc,
-           flush=False, sub_specs=None, out_wh=None):
-    out = sync.poll()
-    if flush:
-        out += _flush_tail(sync)
-    for buf in out:
+# ---------------------------------------------------------------------------
+# pipeline stages (hb_work_object_t analogs; core/pipeline.py runs one
+# thread per stage with bounded FIFOs — the work.c:2242 assembly)
+# ---------------------------------------------------------------------------
+from .core.pipeline import WorkObject  # noqa: E402
+
+
+class _ReaderStage(WorkObject):
+    """Generator stage: source packets → fifo (reader.c role)."""
+    name = "reader"
+
+    def __init__(self, it, die, pause):
+        super().__init__()
+        self.it = it
+        self.die = die
+        self.pause = pause
+
+    def generate(self):
+        for trk, pkt in self.it:
+            if self.pause is not None:
+                self.pause.wait()
+            if self.die is not None and self.die.is_set():
+                break
+            pkt.stream_id = trk
+            yield pkt
+        yield Buffer.eof()
+
+
+class _DecodeSyncStage(WorkObject):
+    """Decode per track and run the synchronizer (decavcodec + sync.c)."""
+    name = "decode+sync"
+
+    def __init__(self, video_track, vdec, adecs, sync, v_sync, a_sync,
+                 stats):
+        super().__init__()
+        self.video_track = video_track
+        self.vdec = vdec
+        self.adecs = adecs
+        self.sync = sync
+        self.v_sync = v_sync
+        self.a_sync = a_sync
+        self.stats = stats
+
+    def work(self, buf):
+        if buf.is_eof():
+            for idx in range(len(self.sync.streams)):
+                self.sync.set_eof(idx)
+            out = self.sync.poll()
+            out += self.sync.poll()      # tail after EOF
+            return out + [buf]
+        trk = buf.stream_id
+        if trk == self.video_track:
+            frames = [buf] if buf.planes is not None else self.vdec.feed(buf)
+            for f in frames:
+                self.sync.queue(self.v_sync, f)
+                self.stats["frames_in"] += 1
+        elif trk in self.adecs:
+            for ab in self.adecs[trk].feed(buf):
+                self.sync.queue(self.a_sync[trk], ab)
+        return self.sync.poll()
+
+
+class _EncodeStage(WorkObject):
+    """Filter graph + encoders. Video uses the encoder's begin/finish
+    pipelining when available so the device analyses frame N+1 while this
+    thread entropy-codes frame N (encx264 lookahead role)."""
+    name = "filter+encode"
+
+    def __init__(self, graph, venc, aencs, rc, stats, progress, sub_specs,
+                 out_wh):
+        super().__init__()
+        self.graph = graph
+        self.venc = venc
+        self.aencs = aencs
+        self.rc = rc
+        self.stats = stats
+        self.progress = progress
+        self.sub_specs = sub_specs or {}
+        self.out_wh = out_wh
+        self._pend = []   # (pending, fb, qp, is_idr)
+
+    # -- video ---------------------------------------------------------------
+    def _planes(self, fb):
+        y, u, v = (np.asarray(p) for p in fb.planes)
+        enc_bd = getattr(self.venc, "bd", 8)
+        src_bd = fb.pix_fmt.bit_depth if fb.pix_fmt else 8
+        if enc_bd != src_bd:
+            # FORMAT-filter role (work.c:1506): scale to encoder depth
+            sh = abs(enc_bd - src_bd)
+            if enc_bd > src_bd:
+                y, u, v = (p.astype(np.uint16) << sh for p in (y, u, v))
+            else:
+                y, u, v = ((p >> sh).astype(np.uint8) for p in (y, u, v))
+        return y, u, v
+
+    def _emit_video(self, au, fb, is_idr, qp):
+        self.rc.update(len(au) * 8, qp, is_idr)
+        self.stats["frames_out"] += 1
+        self.stats["bytes_out"] += len(au)
+        self.progress.tick()
+        out = Buffer(track_kind="video", pts=fb.pts,
+                     duration=fb.duration or 0)
+        out.data = au
+        out.frametype = 1 if is_idr else 0
+        return out
+
+    def _encode(self, fb):
+        y, u, v = self._planes(fb)
+        is_idr = (self.venc.frame_idx % self.venc.cfg.gop) == 0
+        qp = self.rc.frame_qp(is_idr)
+        if hasattr(self.venc, "begin_frame"):
+            self._pend.append((self.venc.begin_frame(y, u, v, qp=qp), fb,
+                               qp, is_idr))
+            if len(self._pend) > 1:
+                return [self._finish_one()]
+            return []
+        au = self.venc.encode_frame(y, u, v, qp=qp)
+        return [self._emit_video(au, fb, self.venc.last_frame_was_idr, qp)]
+
+    def _finish_one(self):
+        p, fb, qp, is_idr = self._pend.pop(0)
+        au = self.venc.finish_frame(p)
+        return self._emit_video(au, fb, is_idr, qp)
+
+    # -- dispatch --------------------------------------------------------------
+    def work(self, buf):
+        if buf.is_eof():
+            out = []
+            for fb in self.graph.flush():
+                out += self._encode(fb)
+            while self._pend:
+                out.append(self._finish_one())
+            for sid, enc in self.aencs.items():
+                for pkt in enc.flush():
+                    pkt.stream_id = sid
+                    out.append(pkt)
+            return out + [buf]
         if buf.track_kind == "video":
-            for fb in graph.work(buf):
-                if fb.is_eof():
-                    continue
-                _encode_video(venc, fb, mux, stats, progress, rc)
-        elif buf.track_kind == "audio":
-            enc = aencs.get(buf.stream_id)
+            out = []
+            for fb in self.graph.work(buf):
+                if not fb.is_eof():
+                    out += self._encode(fb)
+            return out
+        if buf.track_kind == "audio":
+            enc = self.aencs.get(buf.stream_id)
+            out = []
             if enc is not None:
                 for pkt in enc.process(buf):
-                    mux.write_audio(buf.stream_id, pkt)
-        elif buf.track_kind == "subtitle":
+                    pkt.stream_id = buf.stream_id
+                    pkt.track_kind = "audio"
+                    out.append(pkt)
+            return out
+        if buf.track_kind == "subtitle":
             k = buf.stream_id - _SUB_SID0
-            spec = (sub_specs or {}).get(k)
+            spec = self.sub_specs.get(k)
             if spec is None:
-                continue
+                return []
             if spec.burn:
-                # rasterize → RGBA event for the burn-in filter
                 from .subtitles.raster import render_text_rgba
-                w, h = out_wh
+                w, h = self.out_wh
                 rgba, (x0, y0) = render_text_rgba(
                     buf.data.decode("utf-8"), w, h)
                 ev = Buffer(track_kind="subtitle", pts=buf.pts,
                             stop=buf.stop, duration=buf.duration)
                 ev.planes = [rgba]
                 ev.rect = (x0, y0)
-                graph.queue_subtitle(ev)
-            else:
-                mux.write_subtitle(k, buf)
-    if flush:
-        for fb in graph.flush():
-            _encode_video(venc, fb, mux, stats, progress, rc)
-        for sid, enc in aencs.items():
-            for pkt in enc.flush():
-                mux.write_audio(sid, pkt)
+                self.graph.queue_subtitle(ev)
+                return []
+            return [buf]   # muxed subtitle track
+        return []
 
 
-def _flush_tail(sync) -> list:
-    # after EOF everything still queued is emittable
-    return sync.poll()
+class _MuxStage(WorkObject):
+    """Track fan-in + time-chunk interleave (muxcommon.c) driving the
+    format adapter."""
+    name = "mux"
 
+    def __init__(self, adapter, aencs):
+        super().__init__()
+        self.adapter = adapter
+        from .mux.common import Muxer
+        self.muxer = Muxer(writer=None, kind="custom")
+        self._tmap = {}
+        ad = adapter
 
-def _encode_video(venc, fb, mux, stats, progress, rc):
-    y, u, v = (np.asarray(p) for p in fb.planes)
-    enc_bd = getattr(venc, "bd", 8)
-    src_bd = fb.pix_fmt.bit_depth if fb.pix_fmt else 8
-    if enc_bd != src_bd:
-        # FORMAT-filter role (work.c:1506 auto pix-fmt match): scale sample
-        # range to the encoder's bit depth
-        sh = abs(enc_bd - src_bd)
-        if enc_bd > src_bd:
-            y, u, v = (p.astype(np.uint16) << sh for p in (y, u, v))
-        else:
-            y, u, v = ((p >> sh).astype(np.uint8) for p in (y, u, v))
-    is_idr = (venc.frame_idx % venc.cfg.gop) == 0
-    qp = rc.frame_qp(is_idr)
-    au = venc.encode_frame(y, u, v, qp=qp)
-    rc.update(len(au) * 8, qp, venc.last_frame_was_idr)
-    mux.write_video(au, fb, idr=venc.last_frame_was_idr)
-    stats["frames_out"] += 1
-    stats["bytes_out"] += len(au)
-    progress.tick()
+        def vid_write(b):
+            ad.write_video(b.data, b, idr=bool(b.frametype & 1))
+        self._tmap[("video", None)] = self.muxer.add_track(write=vid_write)
+        for sid in aencs:
+            def aw(b, sid=sid):
+                ad.write_audio(sid, b)
+            self._tmap[("audio", sid)] = self.muxer.add_track(write=aw)
+
+    def work(self, buf):
+        if buf.is_eof():
+            self.muxer.finish()
+            self.adapter.finalize()
+            return []
+        if buf.track_kind == "video":
+            self.muxer.queue(self._tmap[("video", None)], buf)
+        elif buf.track_kind == "audio":
+            t = self._tmap.get(("audio", buf.stream_id))
+            if t is not None:
+                self.muxer.queue(t, buf)
+        elif buf.track_kind == "subtitle":
+            # tx3g/S_TEXT cues are sparse; the adapter writes them directly
+            self.adapter.write_subtitle(buf.stream_id - _SUB_SID0, buf)
+        return []
 
 
 class _NullMux:
@@ -359,21 +506,54 @@ class _CopyAudioDecoder:
         return [buf]
 
 
+class _FlacPacketDecoder:
+    """Streaming FLAC decode: one container packet = one FLAC frame
+    (decavcodec.c audio personality role for FLAC inputs)."""
+
+    def __init__(self, ti):
+        from .audio.flac import FLAC_MARKER, FlacDecoder
+        xd = ti.extradata or b""
+        if xd and not xd.startswith(FLAC_MARKER):
+            # mp4 dfLa carries the bare STREAMINFO block; mkv has fLaC + blocks
+            xd = FLAC_MARKER + b"\x80\x00\x00\x22" + xd[-34:]
+        self.dec = FlacDecoder(xd) if xd else None
+        self.ti = ti
+
+    def feed(self, buf: Buffer) -> list:
+        if buf.data is None or self.dec is None:
+            return []
+        from .audio.flac import _BR
+        pcm_i = self.dec._decode_frame(_BR(buf.data))
+        bits = self.dec.bits or 16
+        pcm = pcm_i.astype(np.float32) / float(1 << (bits - 1))
+        out = Buffer(track_kind="audio").copy_props(buf)
+        out.planes = [pcm]
+        out.data = None
+        return [out]
+
+
 def _make_audio_decoder(ti):
     if ti.codec in ("pcm_s16le", "lpcm"):
         return _PcmDecoder(ti)
+    if ti.codec == "flac":
+        return _FlacPacketDecoder(ti)
     return _CopyAudioDecoder()
 
 
 def _make_audio_encoder(spec, ti):
     """Audio chain per output track (resample/mixdown/gain/drc + encoder).
-    AAC encode is not yet native — falls back to pcm; passthrough and
-    flac/pcm are full-quality paths."""
+
+    No native AAC encoder exists yet (the ISO Huffman codebooks are not
+    derivable in this environment); a requested lossy codec degrades to
+    FLAC (lossless, every player handles it) with a LOUD log line — never
+    silently (the reference errors or uses a real encoder)."""
     from .audio.chain import AudioChain
     import copy as _copy
     spec = _copy.copy(spec)
-    if spec.encoder == "aac":
-        spec.encoder = "pcm_s16le"
+    if spec.encoder in ("aac", "opus", "vorbis", "mp3", "ac3", "eac3"):
+        log(f"audio encoder {spec.encoder!r} not implemented natively yet; "
+            f"encoding FLAC (lossless) instead")
+        spec.encoder = "flac"
     return AudioChain(spec, ti)
 
 

@@ -239,3 +239,119 @@ def test_do_job_hevc_main10(y4m_src, tmp_path):
     # range-scaled content: mean around 8-bit source mean << 2
     base = (np.add.outer(np.arange(H), np.arange(W)) * 3 % 256)
     assert abs(float(frames[0][0].mean()) - base.mean() * 4) < 40
+
+
+def test_pipeline_backpressure():
+    """Bounded FIFOs stall fast producers (hb_fifo_push_wait semantics):
+    a slow consumer must cap the queue at capacity — the reader can never
+    run ahead and buffer the whole file."""
+    import time
+    from handbrake_tpu.core.buffer import Buffer
+    from handbrake_tpu.core.pipeline import Pipeline, WorkObject
+
+    N_BUFS, CAP = 64, 4
+    seen = []
+    max_depth = [0]
+
+    class Producer(WorkObject):
+        name = "producer"
+
+        def generate(self):
+            for i in range(N_BUFS):
+                yield Buffer(pts=i)
+            yield Buffer.eof()
+
+    class SlowConsumer(WorkObject):
+        name = "consumer"
+
+        def work(self, buf):
+            max_depth[0] = max(max_depth[0], len(self.fifo_in) + 1)
+            if not buf.is_eof():
+                time.sleep(0.002)
+                seen.append(buf.pts)
+            return []
+
+    pl = Pipeline()
+    f = pl.make_fifo(CAP, "bp")
+    p = Producer()
+    p.fifo_out = f
+    c = SlowConsumer()
+    c.fifo_in = f
+    pl.add_work(p)
+    pl.add_work(c)
+    pl.run()
+    assert pl.error is None
+    assert seen == list(range(N_BUFS))
+    assert max_depth[0] <= CAP + 1, max_depth[0]
+
+
+def test_do_job_stage_threads_used(y4m_src, tmp_path, monkeypatch):
+    """do_job runs on the threaded substrate (work.c:2242 analog)."""
+    from handbrake_tpu.core import pipeline as pl_mod
+    ran = []
+    orig = pl_mod.Pipeline.run
+
+    def spy(self, *a, **k):
+        ran.append(len(self.threads))
+        return orig(self, *a, **k)
+    monkeypatch.setattr(pl_mod.Pipeline, "run", spy)
+    out = str(tmp_path / "bp.mp4")
+    work.do_job(Job(path=y4m_src, file=out, mux="mp4", quality=30.0))
+    assert ran and ran[0] == 4   # reader, decode+sync, filter+encode, mux
+
+
+def test_flac_input_decodes_and_aac_degrades_loudly(tmp_path):
+    """gen1: pcm→FLAC in mkv; gen2: FLAC input decoded (FlacPacketDecoder)
+    and a requested 'aac' track degrades to FLAC with a loud log — never
+    silently to raw PCM (VERDICT round-1 item)."""
+    from handbrake_tpu.audio.flac import FlacDecoder, FLAC_MARKER
+    from handbrake_tpu.codecs.h264.encoder import EncoderConfig, H264Encoder
+    from handbrake_tpu.job.schema import AudioJobTrack
+    from handbrake_tpu.mux.mp4 import MP4Writer
+
+    # A/V source with PCM audio
+    src_path = str(tmp_path / "src.mp4")
+    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=30, gop=6))
+    w = MP4Writer(src_path)
+    vi = w.add_video_track(codec="h264", width=W, height=H)
+    ai = w.add_audio_track(codec="pcm_s16le", sample_rate=48000, channels=2)
+    base = (np.add.outer(np.arange(H), np.arange(W)) * 3 % 256).astype(
+        np.uint8)
+    t = np.arange(1600) / 48000.0
+    tone = np.clip(np.stack([np.sin(2 * np.pi * 440 * t)] * 2, 1) * 12000,
+                   -32768, 32767).astype(np.int16)
+    for i in range(N):
+        u = np.full((H // 2, W // 2), 110, np.uint8)
+        v = np.full((H // 2, W // 2), 60, np.uint8)
+        w.write_sample(vi, enc.encode_frame(np.roll(base, i, 1), u, v),
+                       duration=3003, sync=(i % 6 == 0), annexb=True)
+        w.write_sample(ai, tone.astype("<i2").tobytes(), duration=1600)
+    w.finalize()
+
+    gen1 = str(tmp_path / "gen1.mkv")
+    j = Job(path=src_path, file=gen1, mux="mkv", quality=30.0)
+    j.audio = [AudioJobTrack(track=0, encoder="flac", mixdown="stereo")]
+    work.do_job(j)
+
+    # gen2: FLAC input; request aac → degrades to flac (loudly)
+    gen2 = str(tmp_path / "gen2.mkv")
+    j2 = Job(path=gen1, file=gen2, mux="mkv", quality=30.0)
+    j2.audio = [AudioJobTrack(track=0, encoder="aac", mixdown="stereo")]
+    stats = work.do_job(j2)
+    assert stats["frames_out"] == N
+    d = MKVDemuxer(gen2)
+    at = [i for i, tt in enumerate(d.tracks) if tt.kind == "audio"]
+    assert len(at) == 1
+    assert d.tracks[at[0]].codec == "flac"
+    # decode the flac track: the 440 Hz tone must survive two generations
+    xd = d.tracks[at[0]].extradata
+    frames = b"".join(p.data for trk, p in d.packets() if trk == at[0])
+    fd = FlacDecoder((xd if xd.startswith(FLAC_MARKER) else
+                      FLAC_MARKER + xd) + frames)
+    pcm = fd.decode_all().astype(np.float64) / 32768.0
+    assert pcm.shape[0] > 4000
+    seg = pcm[1000:5000, 0]
+    f = np.fft.rfft(seg * np.hanning(len(seg)))
+    peak_hz = np.argmax(np.abs(f)) * 48000 / len(seg)
+    assert abs(peak_hz - 440) < 20, peak_hz
+    d.close()
