@@ -68,17 +68,21 @@ class TSDemuxer:
         if start_byte == 0:
             self.f.seek(0)
         while True:
+            pos0 = self.f.tell()
             raw = self.f.read(self.psz)
             if len(raw) < self.psz:
                 return
             pkt = raw[self.off:self.off + 188]
             if not pkt or pkt[0] != 0x47:
-                # resync
+                # Resync: find the next 0x47 and seek so the *next* read puts
+                # it at offset self.off.  Searching from self.off+1 guarantees
+                # the seek target is > pos0 (forward progress even on M2TS
+                # where the sync byte sits 4 bytes into the packet).
                 data = self.f.read(188 * 2)
-                idx = (raw + data).find(b"\x47")
+                idx = (raw + data).find(b"\x47", self.off + 1)
                 if idx < 0:
                     return
-                self.f.seek(self.f.tell() - len(raw + data) + idx)
+                self.f.seek(pos0 + idx - self.off)
                 continue
             yield pkt
 
@@ -135,18 +139,31 @@ class TSDemuxer:
             | ((b[off + 2] >> 1) << 15) | (b[off + 3] << 7) \
             | (b[off + 4] >> 1)
 
+    #: sentinel — the PES header continues in the next TS packet
+    _PES_SHORT = "short"
+
     def _parse_pes_header(self, data):
-        """Returns (pts, dts, payload_offset) or None if not a PES start."""
-        if len(data) < 9 or data[:3] != b"\x00\x00\x01":
+        """Returns (pts, dts, payload_offset), None if not a PES start, or
+        _PES_SHORT when the header (incl. PTS/DTS fields) is split across TS
+        packets by a large adaptation field and more bytes are needed."""
+        if len(data) >= 3 and data[:3] != b"\x00\x00\x01":
             return None
+        if len(data) < 9:
+            return self._PES_SHORT
         flags = data[7]
-        hlen = data[8]
+        need = 9
+        if flags & 0x80:
+            need = 14
+        if flags & 0x40:
+            need = 19
+        if len(data) < need:
+            return self._PES_SHORT
         pts = dts = None
         if flags & 0x80:
             pts = self._pes_ts(data, 9)
         if flags & 0x40:
             dts = self._pes_ts(data, 14)
-        return pts, dts, 9 + hlen
+        return pts, dts, 9 + data[8]
 
     # -- scan -----------------------------------------------------------------
     def _scan(self):
@@ -177,7 +194,7 @@ class TSDemuxer:
                         es[spid] = (stype, lang)
             elif pid in es and pusi:
                 hdr = self._parse_pes_header(payload)
-                if hdr and hdr[0] is not None:
+                if isinstance(hdr, tuple) and hdr[0] is not None:
                     first_pts.setdefault(pid, hdr[0])
                     last_pts[pid] = hdr[0]
         if not es:
@@ -253,6 +270,7 @@ class TSDemuxer:
     def _packets_nodur(self, start_state=None):
         bufs = {pid: bytearray() for pid in self._pid_to_track}
         meta = {pid: (None, None) for pid in self._pid_to_track}
+        pending = {}               # pid → partial PES header bytes
 
         def flush(pid):
             data = bytes(bufs[pid])
@@ -283,11 +301,29 @@ class TSDemuxer:
                 out = flush(pid)
                 if out:
                     yield out
+                pending.pop(pid, None)
                 hdr = self._parse_pes_header(payload)
+                if hdr is self._PES_SHORT:
+                    pending[pid] = bytearray(payload)
+                    continue
                 if hdr:
                     pts, dts, poff = hdr
                     meta[pid] = (pts, dts)
                     payload = payload[poff:]
+            elif pid in pending:
+                # PES header split across TS packets: accumulate until the
+                # timestamp fields are complete, then resume normal payload.
+                pending[pid] += payload
+                hdr = self._parse_pes_header(bytes(pending[pid]))
+                if hdr is self._PES_SHORT:
+                    continue
+                buffered = bytes(pending.pop(pid))
+                if hdr:
+                    pts, dts, poff = hdr
+                    meta[pid] = (pts, dts)
+                    payload = buffered[poff:]
+                else:
+                    payload = buffered
             bufs[pid] += payload
         for pid in list(bufs):
             out = flush(pid)

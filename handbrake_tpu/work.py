@@ -364,15 +364,27 @@ class _EncodeStage(WorkObject):
     def _encode(self, fb):
         y, u, v = self._planes(fb)
         is_idr = (self.venc.frame_idx % self.venc.cfg.gop) == 0
+        out = []
+        if is_idr:
+            # Drain the pipeline at GOP boundaries so rc.update() for every
+            # frame of the previous GOP has run before this GOP's allocation.
+            # Within a GOP, frame_qp intentionally lags one frame behind
+            # update() — the price of overlapping device analysis of frame
+            # N+1 with host entropy of frame N (encx264 lookahead role).
+            while self._pend:
+                out.append(self._finish_one())
         qp = self.rc.frame_qp(is_idr)
         if hasattr(self.venc, "begin_frame"):
             self._pend.append((self.venc.begin_frame(y, u, v, qp=qp), fb,
                                qp, is_idr))
+            if out:
+                return out
             if len(self._pend) > 1:
                 return [self._finish_one()]
             return []
         au = self.venc.encode_frame(y, u, v, qp=qp)
-        return [self._emit_video(au, fb, self.venc.last_frame_was_idr, qp)]
+        return out + [self._emit_video(au, fb, self.venc.last_frame_was_idr,
+                                       qp)]
 
     def _finish_one(self):
         p, fb, qp, is_idr = self._pend.pop(0)

@@ -148,3 +148,51 @@ def test_m2ts_192_byte_packets(ts_file, tmp_path):
     d = TSDemuxer(p)
     assert d.psz == 192
     assert len(list(d.packets())) == N
+
+
+def test_m2ts_corrupt_sync_resyncs(ts_file, tmp_path):
+    """Regression: a corrupted sync byte mid-file must resync with forward
+    progress (ADVICE r2: the old resync seeked back to the same spot
+    forever on 192-byte M2TS)."""
+    from handbrake_tpu.sources.ts import TSDemuxer
+    data = open(ts_file, "rb").read()
+    m2 = bytearray(b"".join(b"\x00\x00\x00\x00" + data[i:i + 188]
+                            for i in range(0, len(data), 188)))
+    # corrupt the sync byte of the 6th packet (after PSI)
+    m2[5 * 192 + 4] = 0x00
+    p = str(tmp_path / "bad.m2ts")
+    open(p, "wb").write(bytes(m2))
+    d = TSDemuxer(p)          # must not hang in _scan
+    pkts = list(d.packets())  # one PES chunk lost at most
+    assert len(pkts) >= N - 2
+    d.close()
+
+
+def test_pes_header_split_across_packets(tmp_path):
+    """A PES header whose PTS field is split across two TS packets by a
+    large adaptation field must still parse (ADVICE r2 bounds issue)."""
+    from handbrake_tpu.sources.ts import TSDemuxer
+    pid = 0x100
+    pes_data = pes(0xE0, 123456, b"\xAB" * 100)
+    # first TS packet: adaptation field leaves room for only 7 PES bytes
+    room = 7
+    af_len = 183 - room
+    hdr = bytes([0x47, 0x40 | (pid >> 8), pid & 0xFF, 0x30 | 0])
+    af = bytes([af_len, 0]) + b"\xff" * (af_len - 1)
+    p1 = hdr + af + pes_data[:room]
+    rest = pes_data[room:]
+    hdr2 = bytes([0x47, pid >> 8, pid & 0xFF, 0x10 | 1])
+    p2 = hdr2 + rest + b"\xff" * 0
+    pad = 184 - len(rest)
+    if pad:
+        hdr2 = bytes([0x47, pid >> 8, pid & 0xFF, 0x30 | 1])
+        p2 = hdr2 + bytes([pad - 1, 0]) + b"\xff" * (pad - 2) + rest
+    stream = pat() + pmt() + p1 + p2
+    path = str(tmp_path / "split.ts")
+    open(path, "wb").write(stream)
+    d = TSDemuxer(path)
+    pkts = list(d.packets())
+    assert len(pkts) == 1
+    assert pkts[0][1].pts == 123456
+    assert pkts[0][1].data == b"\xAB" * 100
+    d.close()
