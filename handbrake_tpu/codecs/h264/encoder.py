@@ -62,6 +62,10 @@ class EncoderConfig:
     # in-loop deblocking (spec 8.7). Host backend only for now: the device
     # recon would need the slope-2 wavefront filter to stay bit-exact.
     deblock: bool = False
+    # CABAC entropy coding (spec 9.3, Main/High profile). Runs in the
+    # native C++ stage (cabac264.h); requires the native lib and the
+    # device analysis path for P frames.
+    cabac: bool = False
 
 
 class MBCtx:
@@ -314,16 +318,35 @@ class H264Encoder:
         if cfg.deblock and cfg.backend == "device":
             # loop-filtered references require the host walk for now
             cfg.backend = "host"
+        # native (C++) serial stage — needed before the CABAC decision
+        try:
+            from ...native import get_lib
+            self._natlib = get_lib()
+        except Exception:
+            self._natlib = None
+        if cfg.cabac and (self._natlib is None or cfg.deblock):
+            # CABAC lives in the native stage only; with deblock the P
+            # walk is pure-python (host backend) — degrade to CAVLC loudly
+            from ...utils.logging import log
+            log("h264: CABAC unavailable (%s) — using CAVLC" %
+                ("no native lib" if self._natlib is None else "deblock"))
+            cfg.cabac = False
+        if cfg.cabac and cfg.backend != "device":
+            # P-frame CABAC consumes the analysis arrays the device path
+            # produces; jax-on-CPU serves when no TPU is attached
+            cfg.backend = "device"
         w, h = cfg.width, cfg.height
         self.mb_w = (w + 15) // 16
         self.mb_h = (h + 15) // 16
-        self.sps = SPS(width_mbs=self.mb_w, height_mbs=self.mb_h,
+        self.sps = SPS(profile_idc=77 if cfg.cabac else 66,
+                       width_mbs=self.mb_w, height_mbs=self.mb_h,
                        crop_right=self.mb_w * 16 - w,
                        crop_bottom=self.mb_h * 16 - h,
                        level_idc=cfg.level_idc,
                        vui_timing=(cfg.fps[1], 2 * cfg.fps[0]))
         self.pps = PPS(pic_init_qp=cfg.qp,
-                       chroma_qp_index_offset=cfg.chroma_qp_offset)
+                       chroma_qp_index_offset=cfg.chroma_qp_offset,
+                       cabac=cfg.cabac)
         self.frame_num = 0
         self.idr_pic_id = 0
         self.frame_idx = 0
@@ -338,14 +361,6 @@ class H264Encoder:
         if cfg.backend == "device":
             from .encoder_tpu import build_p_analyzer
             self._analyzer = build_p_analyzer(self.mb_w, self.mb_h)
-        # native (C++) serial stage: CAVLC walk + NAL packing. Bit-exact
-        # vs the Python paths below (tests/test_native.py); HBTPU_NATIVE=0
-        # disables it.
-        try:
-            from ...native import get_lib
-            self._natlib = get_lib()
-        except Exception:
-            self._natlib = None
 
     # -- frame-level -------------------------------------------------------
     def headers(self) -> bytes:
@@ -494,7 +509,7 @@ class H264Encoder:
         out = np.empty(cap, np.uint8)
         hdr = np.frombuffer(bytes(hdr_bw._bytes), np.uint8)
         n = self._natlib.hb264_encode_i_slice(
-            self.mb_w, self.mb_h, qp, qpc,
+            self.mb_w, self.mb_h, qp, qpc, int(self.cfg.cabac),
             self._u8p(hdr), hdr.size, hdr_bw._cur, hdr_bw._nbits,
             self._u8p(sy), self._u8p(su), self._u8p(sv),
             self._u8p(ry), self._u8p(ru), self._u8p(rv),
@@ -578,6 +593,7 @@ class H264Encoder:
         unnz, vnnz = arr("unnz", np.int8), arr("vnnz", np.int8)
         n = self._natlib.hb264_encode_p_slice(
             self.mb_w, self.mb_h, qp, qpc, INTRA_THRESH,
+            int(self.cfg.cabac),
             self._u8p(hdr), hdr.size, hdr_bw._cur, hdr_bw._nbits,
             self._u8p(sy), self._u8p(su), self._u8p(sv),
             i16p(mv), self._i32p(sad),
@@ -613,6 +629,10 @@ class H264Encoder:
                     # all-intra frame: bS is 4/3 everywhere, nnz/mv unused
                     self._apply_deblock(qp, qpc, intra_all=True)
                 return payload
+        if self.cfg.cabac:
+            # the python walker below is CAVLC-only; emitting it under a
+            # CABAC PPS would corrupt the stream
+            raise RuntimeError("h264: native CABAC stage failed")
         slice_type = SLICE_I if idr else SLICE_P
         hdr = SliceHeader(slice_type=slice_type, idr=idr,
                           frame_num=0 if idr else self.frame_num,
@@ -875,6 +895,8 @@ class H264Encoder:
                                            hdr.write(self.sps, self.pps))
             if payload is not None:
                 return payload
+        if self.cfg.cabac:
+            raise RuntimeError("h264: native CABAC stage failed")
         # pure-python fallback consumes host copies of everything
         recs = jax.device_get((dev["recon_y"], dev["urec"], dev["vrec"]))
         devj = dev

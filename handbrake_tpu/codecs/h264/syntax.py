@@ -153,12 +153,13 @@ class PPS:
     pic_init_qp: int = 26
     deblocking_filter_control_present: bool = True
     chroma_qp_index_offset: int = 0
+    cabac: bool = False            # entropy_coding_mode_flag
 
     def write(self) -> bytes:
         bw = BitWriter()
         bw.ue(self.pps_id)
         bw.ue(self.sps_id)
-        bw.put_bit(0)  # entropy_coding_mode: CAVLC
+        bw.put_bit(1 if self.cabac else 0)  # entropy_coding_mode
         bw.put_bit(0)  # bottom_field_pic_order_in_frame_present
         bw.ue(0)       # num_slice_groups_minus1
         bw.ue(0)       # num_ref_idx_l0_default_active_minus1
@@ -183,9 +184,7 @@ class PPS:
         p = PPS()
         p.pps_id = br.ue()
         p.sps_id = br.ue()
-        entropy = br.u(1)
-        if entropy:
-            raise NotImplementedError("CABAC parse")
+        p.cabac = bool(br.u(1))
         br.u(1)
         nsg = br.ue()
         if nsg:
@@ -235,6 +234,8 @@ class SliceHeader:
             bw.put_bit(0)  # long_term_reference_flag
         else:
             bw.put_bit(0)  # adaptive_ref_pic_marking_mode_flag
+        if pps.cabac and self.slice_type != SLICE_I:
+            bw.ue(0)       # cabac_init_idc
         bw.se(self.qp - pps.pic_init_qp)
         if pps.deblocking_filter_control_present:
             bw.ue(self.disable_deblocking)
@@ -267,6 +268,8 @@ class SliceHeader:
         else:
             if br.u(1):
                 raise NotImplementedError("adaptive ref marking")
+        if pps.cabac and h.slice_type != SLICE_I:
+            br.ue()        # cabac_init_idc
         h.qp = pps.pic_init_qp + br.se()
         if pps.deblocking_filter_control_present:
             h.disable_deblocking = br.ue()

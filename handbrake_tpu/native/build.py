@@ -29,12 +29,17 @@ def _sources() -> tuple:
     tables = gen_tables.generate()
     with open(os.path.join(_DIR, "hb264.cpp")) as f:
         cpp = f.read()
-    return tables, cpp
+    aux = {}
+    for name in ("cabac264.h", "cabac_tables_h264.h"):
+        with open(os.path.join(_DIR, name)) as f:
+            aux[name] = f.read()
+    return tables, cpp, aux
 
 
 def _build() -> str | None:
-    tables, cpp = _sources()
-    key = hashlib.sha256((tables + cpp).encode()).hexdigest()[:16]
+    tables, cpp, aux = _sources()
+    key = hashlib.sha256(
+        (tables + cpp + "".join(aux.values())).encode()).hexdigest()[:16]
     os.makedirs(_CACHE, exist_ok=True)
     so_path = os.path.join(_CACHE, f"hb264_{key}.so")
     if os.path.exists(so_path):
@@ -43,6 +48,9 @@ def _build() -> str | None:
     os.makedirs(workdir, exist_ok=True)
     with open(os.path.join(workdir, "cavlc_tables.h"), "w") as f:
         f.write(tables)
+    for name, text in aux.items():
+        with open(os.path.join(workdir, name), "w") as f:
+            f.write(text)
     src = os.path.join(workdir, "hb264.cpp")
     with open(src, "w") as f:
         f.write(cpp)
@@ -66,12 +74,13 @@ def _bind(lib):
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.hb264_encode_i_slice.restype = ctypes.c_int
     lib.hb264_encode_i_slice.argtypes = [
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         u8p, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
         u8p, u8p, u8p, u8p, u8p, u8p, u8p, ctypes.c_int]
     lib.hb264_encode_p_slice.restype = ctypes.c_int
     lib.hb264_encode_p_slice.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
         u8p, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
         u8p, u8p, u8p,
         i16p, i32p, i16p, i8p, i16p, i16p, i16p, i16p, i8p, i8p,

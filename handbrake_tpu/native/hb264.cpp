@@ -58,6 +58,10 @@ struct BitWriter {
 
 static inline int floordiv2(int x) { return x >> 1; }  // gcc: arithmetic shift
 
+}  // namespace (reopened below — cabac264.h needs BitWriter)
+#include "cabac264.h"
+namespace {
+
 // ---------------------------------------------------------------------------
 // CAVLC residual coding (spec 9.2) — port of codecs/h264/cavlc.py
 // ---------------------------------------------------------------------------
@@ -629,11 +633,341 @@ static void write_chroma_residual(BitWriter& bw, Ctx& ctx, int mbx, int mby,
     }
 }
 
+// ---------------------------------------------------------------------------
+// CABAC syntax writers (spec 9.3.3) for the emitted MB types.  Neighbour
+// ctxIdx increments follow 9.3.3.1.1; cross-checked against libavcodec by
+// the conformance tests.
+// ---------------------------------------------------------------------------
+struct Cabac {
+    CabacEnc e;
+    CabacSliceState s;
+};
+
+// coded_block_flag ctxIdxInc for the luma/chroma 4x4 grids: nnz grids hold
+// per-block counts (cbf == count>0).  Unavailable neighbour: intra MBs use
+// 1, inter 0 (spec 9.3.3.1.1.9); skipped/uncoded blocks read 0 from grids.
+static int cbf_inc_grid(const Ctx& ctx, const std::vector<int32_t>& grid,
+                        int gw, int by, int bx, bool cur_intra) {
+    int a = bx > 0 ? (grid[by * gw + bx - 1] > 0) : (cur_intra ? 1 : 0);
+    int b = by > 0 ? (grid[(by - 1) * gw + bx] > 0) : (cur_intra ? 1 : 0);
+    return a + 2 * b;
+}
+
+// DC-category cbf inc from per-MB flag vectors (luma DC / chroma DC)
+static int cbf_inc_mb(const CabacSliceState& S,
+                      const std::vector<uint8_t>& flag,
+                      int mbx, int mby, bool cur_intra) {
+    int a = S.avail(mbx - 1, mby) ? flag[S.idx(mbx - 1, mby)]
+                                  : (cur_intra ? 1 : 0);
+    int b = S.avail(mbx, mby - 1) ? flag[S.idx(mbx, mby - 1)]
+                                  : (cur_intra ? 1 : 0);
+    return a + 2 * b;
+}
+
+// For CAT_LUMA_DC the neighbour block only exists when the neighbour MB is
+// Intra_16x16; otherwise condTerm = 0 (available MB, absent block).
+static int cbf_inc_lumadc(const CabacSliceState& S, int mbx, int mby) {
+    auto term = [&](int x, int y) -> int {
+        if (!S.avail(x, y)) return 1;          // current MB is always intra
+        int i = S.idx(x, y);
+        return S.i16[i] ? S.dc_cbf[i] : 0;
+    };
+    return term(mbx - 1, mby) + 2 * term(mbx, mby - 1);
+}
+
+static int cbf_inc_chromadc(const CabacSliceState& S, int comp,
+                            int mbx, int mby, bool cur_intra) {
+    auto term = [&](int x, int y) -> int {
+        if (!S.avail(x, y)) return cur_intra ? 1 : 0;
+        return S.cdc_cbf[comp][S.idx(x, y)];
+    };
+    return term(mbx - 1, mby) + 2 * term(mbx, mby - 1);
+}
+
+static void cabac_mb_skip(Cabac& cb, int mbx, int mby, int skip) {
+    CabacSliceState& S = cb.s;
+    int a = S.avail(mbx - 1, mby) && !S.skip[S.idx(mbx - 1, mby)];
+    int b = S.avail(mbx, mby - 1) && !S.skip[S.idx(mbx, mby - 1)];
+    cb.e.encode(11 + a + b, skip);
+}
+
+// mvd component (spec 9.3.2.3 UEG3, uCoff 9); base 40 for x, 47 for y.
+static void cabac_mvd(CabacEnc& e, int base, int mvd, int e_nb) {
+    static const int off[8] = {3, 4, 5, 6, 6, 6, 6, 6};
+    int inc = e_nb < 3 ? 0 : (e_nb > 32 ? 2 : 1);
+    uint32_t a = mvd < 0 ? -mvd : mvd;
+    if (a == 0) { e.encode(base + inc, 0); return; }
+    e.encode(base + inc, 1);
+    if (a < 9) {
+        for (uint32_t j = 1; j < a; j++) e.encode(base + off[j - 1], 1);
+        e.encode(base + off[a - 1], 0);
+    } else {
+        for (int j = 1; j < 9; j++) e.encode(base + off[j - 1], 1);
+        e.eg_suffix(a - 9, 3);
+    }
+    e.bypass(mvd < 0);
+}
+
+static void cabac_intra_chroma_mode(Cabac& cb, int mbx, int mby, int mode) {
+    CabacSliceState& S = cb.s;
+    auto term = [&](int x, int y) -> int {
+        if (!S.avail(x, y)) return 0;
+        int i = S.idx(x, y);
+        return (S.intra[i] && S.cmode[i] != 0) ? 1 : 0;
+    };
+    int inc = term(mbx - 1, mby) + term(mbx, mby - 1);
+    cb.e.encode(64 + inc, mode > 0);
+    if (mode > 0) {
+        cb.e.encode(67, mode > 1);
+        if (mode > 1) cb.e.encode(67, mode > 2);
+    }
+}
+
+static void cabac_cbp(Cabac& cb, int mbx, int mby, int cbp_luma,
+                      int cbp_chroma) {
+    CabacSliceState& S = cb.s;
+    int cbp_l = S.avail(mbx - 1, mby) ? (S.cbp[S.idx(mbx - 1, mby)] & 0xF)
+                                      : 0xF;   // unavailable → condTerm 0
+    int cbp_t = S.avail(mbx, mby - 1) ? (S.cbp[S.idx(mbx, mby - 1)] & 0xF)
+                                      : 0xF;
+    // quadrant neighbours: q^1 horizontally, q^2 vertically; bits from the
+    // neighbour MB when crossing the MB edge, else from cbp_luma itself.
+    int cur = 0;
+    for (int q = 0; q < 4; q++) {
+        int abit = (q & 1) ? (cur >> (q - 1)) & 1 : (cbp_l >> (q + 1)) & 1;
+        int bbit = (q & 2) ? (cur >> (q - 2)) & 1 : (cbp_t >> (q + 2)) & 1;
+        int inc = (abit ? 0 : 1) + 2 * (bbit ? 0 : 1);
+        int bit = (cbp_luma >> q) & 1;
+        cb.e.encode(73 + inc, bit);
+        cur |= bit << q;
+    }
+    int ca = S.avail(mbx - 1, mby) ? (S.cbp[S.idx(mbx - 1, mby)] >> 4) : 0;
+    int ct = S.avail(mbx, mby - 1) ? (S.cbp[S.idx(mbx, mby - 1)] >> 4) : 0;
+    int inc0 = (ca > 0) + 2 * (ct > 0);
+    cb.e.encode(77 + inc0, cbp_chroma != 0);
+    if (cbp_chroma != 0) {
+        int inc1 = (ca == 2) + 2 * (ct == 2);
+        cb.e.encode(81 + inc1, cbp_chroma == 2);
+    }
+}
+
+// Intra_16x16 mb_type: prefix differs between I and P slices, suffix is
+// (not-I_NxN, PCM-terminate, cbp_ac, cbp_chroma x2, pred-mode x2).
+static void cabac_mb_type_i16(Cabac& cb, int mbx, int mby, bool p_slice,
+                              int imode, int cbp_ac, int cbp_chroma) {
+    CabacSliceState& S = cb.s;
+    CabacEnc& e = cb.e;
+    if (p_slice) {
+        e.encode(14, 1);                     // prefix: intra in P
+        e.encode(17, 1);                     // not I_NxN
+    } else {
+        auto term = [&](int x, int y) -> int {
+            // condTerm: available and not I_NxN (we never emit I_NxN)
+            return S.avail(x, y) && S.intra[S.idx(x, y)] ? 1 : 0;
+        };
+        int inc = term(mbx - 1, mby) + term(mbx, mby - 1);
+        e.encode(3 + inc, 1);                // not I_NxN
+    }
+    e.terminate(0);                          // not I_PCM
+    if (p_slice) {                           // suffix ctx shared per pair
+        e.encode(18, cbp_ac != 0);
+        e.encode(19, cbp_chroma != 0);
+        if (cbp_chroma != 0) e.encode(19, cbp_chroma == 2);
+        e.encode(20, (imode >> 1) & 1);
+        e.encode(20, imode & 1);
+    } else {
+        e.encode(6, cbp_ac != 0);
+        e.encode(7, cbp_chroma != 0);
+        if (cbp_chroma != 0) e.encode(8, cbp_chroma == 2);
+        e.encode(9, (imode >> 1) & 1);
+        e.encode(10, imode & 1);
+    }
+}
+
+static void cabac_mb_qp_delta(Cabac& cb, int prev_nz, int delta) {
+    // we always emit 0: single bin with ctx 60 + (prev delta != 0)
+    cb.e.encode(60 + (prev_nz ? 1 : 0), delta != 0);
+    // non-zero deltas would need the full unary tail (ctx 62, 63)
+}
+
+// CABAC entropy for a fully analysed intra MB (data from write_intra_mb).
+static void cabac_write_intra(Cabac& cb, Ctx& ctx, int mbx, int mby,
+                              bool p_slice, int imode, int cmode,
+                              int cbp_ac, int cbp_chroma,
+                              const int32_t dclv[16],
+                              const int32_t aclv[16][16],
+                              const int32_t udc[4], const int32_t uac[4][16],
+                              const int32_t vdc[4], const int32_t vac[4][16]) {
+    CabacSliceState& S = cb.s;
+    CabacEnc& e = cb.e;
+    int mi = S.idx(mbx, mby);
+    cabac_mb_type_i16(cb, mbx, mby, p_slice, imode, cbp_ac, cbp_chroma);
+    cabac_intra_chroma_mode(cb, mbx, mby, cmode);
+    cabac_mb_qp_delta(cb, 0, 0);
+
+    int b0y = mby * 4, b0x = mbx * 4, W4 = ctx.mb_w * 4;
+    // luma DC (cat 0)
+    int32_t z[16];
+    zigzag16(dclv, z);
+    S.dc_cbf[mi] = cabac_residual(e, z, 16, CAT_LUMA_DC,
+                                  cbf_inc_lumadc(S, mbx, mby));
+    // luma AC (cat 1)
+    if (cbp_ac) {
+        for (int k = 0; k < 16; k++) {
+            int ridx = CODED_ORDER[k];
+            int by = b0y + ridx / 4, bx = b0x + ridx % 4;
+            zigzag16(aclv[ridx], z);
+            int inc = cbf_inc_grid(ctx, ctx.nnz_l, W4, by, bx, true);
+            cabac_residual(e, z + 1, 15, CAT_LUMA_AC, inc);
+            int n = 0;
+            for (int t = 1; t < 16; t++) if (z[t]) n++;
+            ctx.nnz_l[by * W4 + bx] = n;
+        }
+    } else {
+        for (int r = 0; r < 4; r++)
+            for (int c = 0; c < 4; c++)
+                ctx.nnz_l[(b0y + r) * W4 + b0x + c] = 0;
+    }
+    // chroma (cats 3, 4)
+    int b0cy = mby * 2, b0cx = mbx * 2, W2 = ctx.mb_w * 2;
+    if (cbp_chroma != 0) {
+        S.cdc_cbf[0][mi] = cabac_residual(
+            e, udc, 4, CAT_CHROMA_DC, cbf_inc_chromadc(S, 0, mbx, mby, true));
+        S.cdc_cbf[1][mi] = cabac_residual(
+            e, vdc, 4, CAT_CHROMA_DC, cbf_inc_chromadc(S, 1, mbx, mby, true));
+    }
+    if (cbp_chroma == 2) {
+        for (int plane = 0; plane < 2; plane++) {
+            const int32_t (*ac)[16] = plane == 0 ? uac : vac;
+            std::vector<int32_t>& g = plane == 0 ? ctx.nnz_cb : ctx.nnz_cr;
+            for (int k = 0; k < 4; k++) {
+                int by = b0cy + k / 2, bx = b0cx + k % 2;
+                zigzag16(ac[k], z);
+                int inc = cbf_inc_grid(ctx, g, W2, by, bx, true);
+                cabac_residual(e, z + 1, 15, CAT_CHROMA_AC, inc);
+                int n = 0;
+                for (int t = 1; t < 16; t++) if (z[t]) n++;
+                g[by * W2 + bx] = n;
+            }
+        }
+    } else {
+        for (int r = 0; r < 2; r++)
+            for (int c = 0; c < 2; c++) {
+                ctx.nnz_cb[(b0cy + r) * W2 + b0cx + c] = 0;
+                ctx.nnz_cr[(b0cy + r) * W2 + b0cx + c] = 0;
+            }
+    }
+    S.intra[mi] = 1; S.i16[mi] = 1; S.skip[mi] = 0;
+    S.cmode[mi] = (uint8_t)cmode;
+    S.cbp[mi] = (uint8_t)((cbp_ac ? 15 : 0) | (cbp_chroma << 4));
+    S.mvdx[mi] = 0; S.mvdy[mi] = 0;
+    S.done[mi] = 1;
+}
+
+// CABAC entropy for a P_L0_16x16 MB.
+static void cabac_write_inter(Cabac& cb, Ctx& ctx, int mbx, int mby,
+                              int mvdx, int mvdy, int cbp_luma,
+                              int cbp_chroma,
+                              const int32_t lv[16][16],
+                              const int32_t udc[4], const int32_t uac[4][16],
+                              const int32_t vdc[4], const int32_t vac[4][16]) {
+    CabacSliceState& S = cb.s;
+    CabacEnc& e = cb.e;
+    int mi = S.idx(mbx, mby);
+    e.encode(14, 0); e.encode(15, 0); e.encode(16, 0);  // P_L0_16x16
+    auto amvd = [&](int x, int y, const std::vector<int16_t>& m) -> int {
+        if (!S.avail(x, y)) return 0;
+        int v = m[S.idx(x, y)];
+        return v < 0 ? -v : v;
+    };
+    cabac_mvd(e, 40, mvdx,
+              amvd(mbx - 1, mby, S.mvdx) + amvd(mbx, mby - 1, S.mvdx));
+    cabac_mvd(e, 47, mvdy,
+              amvd(mbx - 1, mby, S.mvdy) + amvd(mbx, mby - 1, S.mvdy));
+    cabac_cbp(cb, mbx, mby, cbp_luma, cbp_chroma);
+    if (cbp_luma || cbp_chroma) cabac_mb_qp_delta(cb, 0, 0);
+
+    int b0y = mby * 4, b0x = mbx * 4, W4 = ctx.mb_w * 4;
+    int32_t z[16];
+    for (int k = 0; k < 16; k++) {
+        int ridx = CODED_ORDER[k];
+        int quad = (ridx / 8) * 2 + (ridx % 4) / 2;
+        int by = b0y + ridx / 4, bx = b0x + ridx % 4;
+        if (!((cbp_luma >> quad) & 1)) {
+            ctx.nnz_l[by * W4 + bx] = 0;
+            continue;
+        }
+        zigzag16(lv[ridx], z);
+        int inc = cbf_inc_grid(ctx, ctx.nnz_l, W4, by, bx, false);
+        cabac_residual(e, z, 16, CAT_LUMA_4x4, inc);
+        int n = 0;
+        for (int t = 0; t < 16; t++) if (z[t]) n++;
+        ctx.nnz_l[by * W4 + bx] = n;
+    }
+    int b0cy = mby * 2, b0cx = mbx * 2, W2 = ctx.mb_w * 2;
+    if (cbp_chroma != 0) {
+        S.cdc_cbf[0][mi] = cabac_residual(
+            e, udc, 4, CAT_CHROMA_DC,
+            cbf_inc_chromadc(S, 0, mbx, mby, false));
+        S.cdc_cbf[1][mi] = cabac_residual(
+            e, vdc, 4, CAT_CHROMA_DC,
+            cbf_inc_chromadc(S, 1, mbx, mby, false));
+    }
+    if (cbp_chroma == 2) {
+        for (int plane = 0; plane < 2; plane++) {
+            const int32_t (*ac)[16] = plane == 0 ? uac : vac;
+            std::vector<int32_t>& g = plane == 0 ? ctx.nnz_cb : ctx.nnz_cr;
+            for (int k = 0; k < 4; k++) {
+                int by = b0cy + k / 2, bx = b0cx + k % 2;
+                zigzag16(ac[k], z);
+                int inc = cbf_inc_grid(ctx, g, W2, by, bx, false);
+                cabac_residual(e, z + 1, 15, CAT_CHROMA_AC, inc);
+                int n = 0;
+                for (int t = 1; t < 16; t++) if (z[t]) n++;
+                g[by * W2 + bx] = n;
+            }
+        }
+    } else {
+        for (int r = 0; r < 2; r++)
+            for (int c = 0; c < 2; c++) {
+                ctx.nnz_cb[(b0cy + r) * W2 + b0cx + c] = 0;
+                ctx.nnz_cr[(b0cy + r) * W2 + b0cx + c] = 0;
+            }
+    }
+    if (cbp_luma == 0)
+        for (int r = 0; r < 4; r++)
+            for (int c = 0; c < 4; c++)
+                ctx.nnz_l[(b0y + r) * W4 + b0x + c] = 0;
+    S.intra[mi] = 0; S.i16[mi] = 0; S.skip[mi] = 0;
+    S.cbp[mi] = (uint8_t)(cbp_luma | (cbp_chroma << 4));
+    S.mvdx[mi] = (int16_t)mvdx; S.mvdy[mi] = (int16_t)mvdy;
+    S.done[mi] = 1;
+}
+
+static void cabac_write_skip(Cabac& cb, int mbx, int mby, Ctx& ctx) {
+    CabacSliceState& S = cb.s;
+    int mi = S.idx(mbx, mby);
+    cabac_mb_skip(cb, mbx, mby, 1);
+    S.skip[mi] = 1; S.intra[mi] = 0; S.i16[mi] = 0;
+    S.cbp[mi] = 0; S.mvdx[mi] = 0; S.mvdy[mi] = 0;
+    S.done[mi] = 1;
+    int b0y = mby * 4, b0x = mbx * 4, W4 = ctx.mb_w * 4;
+    for (int r = 0; r < 4; r++)
+        for (int c = 0; c < 4; c++)
+            ctx.nnz_l[(b0y + r) * W4 + b0x + c] = 0;
+    int b0cy = mby * 2, b0cx = mbx * 2, W2 = ctx.mb_w * 2;
+    for (int r = 0; r < 2; r++)
+        for (int c = 0; c < 2; c++) {
+            ctx.nnz_cb[(b0cy + r) * W2 + b0cx + c] = 0;
+            ctx.nnz_cr[(b0cy + r) * W2 + b0cx + c] = 0;
+        }
+}
+
 // Full intra-16x16 MB: mode decision done by caller (imode/ipred given).
 static void write_intra_mb(BitWriter& bw, Ctx& ctx, Planes& P,
                            int mbx, int mby, int imode,
                            const int32_t ipred[256], int qp, int qpc,
-                           bool p_slice, int* skip_run) {
+                           bool p_slice, int* skip_run, Cabac* cb = nullptr) {
     int x0 = mbx * 16, y0 = mby * 16;
     int cx0 = mbx * 8, cy0 = mby * 8;
     int ls = P.w, cs = P.w / 2;
@@ -714,6 +1048,14 @@ static void write_intra_mb(BitWriter& bw, Ctx& ctx, Planes& P,
                        &v_dc, &v_ac, nnzv);
     int cbp_chroma = (u_ac || v_ac) ? 2 : ((u_dc || v_dc) ? 1 : 0);
 
+    if (cb) {
+        if (p_slice) cabac_mb_skip(*cb, mbx, mby, 0);
+        cabac_write_intra(*cb, ctx, mbx, mby, p_slice, imode, best_cm,
+                          cbp_ac, cbp_chroma, dclv, aclv,
+                          udc, uaclv, vdc, vaclv);
+        ctx.ref[mby * ctx.mb_w + mbx] = -1;
+        return;
+    }
     int mb_type = 1 + imode + 4 * cbp_chroma + 12 * cbp_ac;
     if (p_slice) {
         bw.ue(*skip_run);
@@ -787,7 +1129,7 @@ extern "C" {
 // Append RBSP of an IDR I slice after the given header bits.
 // Returns bytes written (>=0) or -1 on buffer overflow.
 int hb264_encode_i_slice(
-    int mb_w, int mb_h, int qp, int qpc,
+    int mb_w, int mb_h, int qp, int qpc, int cabac,
     const uint8_t* hdr_bytes, int hdr_nbytes, uint64_t hdr_cur, int hdr_nbits,
     const uint8_t* src_y, const uint8_t* src_u, const uint8_t* src_v,
     uint8_t* rec_y, uint8_t* rec_u, uint8_t* rec_v,
@@ -804,17 +1146,32 @@ int hb264_encode_i_slice(
     ctx.init(mb_w, mb_h);
     Planes P = {src_y, src_u, src_v, rec_y, rec_u, rec_v,
                 mb_w * 16, mb_h * 16};
+    Cabac cbo;
+    Cabac* cb = nullptr;
+    if (cabac) {
+        if (bw.nbits)                         // cabac_alignment_one_bits
+            bw.put((1u << (8 - bw.nbits)) - 1, 8 - bw.nbits);
+        cbo.e.init(&bw, qp, /*i_slice=*/true, 0);
+        cbo.s.init(mb_w, mb_h);
+        cb = &cbo;
+    }
     int skip_run = 0;
+    int n_mb = mb_w * mb_h;
     for (int mby = 0; mby < mb_h; mby++)
         for (int mbx = 0; mbx < mb_w; mbx++) {
             ctx.cur = mby * mb_w + mbx;
             int32_t ipred[256];
             int imode = pick_i16_mode(P, mbx, mby, ipred);
             write_intra_mb(bw, ctx, P, mbx, mby, imode, ipred, qp, qpc,
-                           false, &skip_run);
+                           false, &skip_run, cb);
+            if (cb) cb->e.terminate(ctx.cur == n_mb - 1);  // end_of_slice
             if (bw.overflow) return -1;
         }
-    bw.rbsp_trailing();
+    if (cb) {
+        if (bw.nbits) bw.put(0, 8 - bw.nbits);  // trailing alignment zeros
+    } else {
+        bw.rbsp_trailing();
+    }
     if (bw.overflow) return -1;
     return bw.pos;
 }
@@ -825,7 +1182,7 @@ int hb264_encode_i_slice(
 //   unnz/vnnz (n,4) i8. rec planes arrive PRE-FILLED with the device
 //   recon (assembled on device); only intra-fallback MBs are rewritten.
 int hb264_encode_p_slice(
-    int mb_w, int mb_h, int qp, int qpc, int intra_thresh,
+    int mb_w, int mb_h, int qp, int qpc, int intra_thresh, int cabac,
     const uint8_t* hdr_bytes, int hdr_nbytes, uint64_t hdr_cur, int hdr_nbits,
     const uint8_t* src_y, const uint8_t* src_u, const uint8_t* src_v,
     const int16_t* mv, const int32_t* sad,
@@ -847,8 +1204,18 @@ int hb264_encode_p_slice(
     ctx.init(mb_w, mb_h);
     Planes P = {src_y, src_u, src_v, rec_y, rec_u, rec_v,
                 mb_w * 16, mb_h * 16};
+    Cabac cbo;
+    Cabac* cb = nullptr;
+    if (cabac) {
+        if (bw.nbits)                         // cabac_alignment_one_bits
+            bw.put((1u << (8 - bw.nbits)) - 1, 8 - bw.nbits);
+        cbo.e.init(&bw, qp, /*i_slice=*/false, 0);
+        cbo.s.init(mb_w, mb_h);
+        cb = &cbo;
+    }
     int ls = P.w;
     int skip_run = 0;
+    int n_mb = mb_w * mb_h;
     for (int mby = 0; mby < mb_h; mby++)
         for (int mbx = 0; mbx < mb_w; mbx++) {
             int i = mby * mb_w + mbx;
@@ -867,6 +1234,7 @@ int hb264_encode_p_slice(
             int cbp_luma = cbp_luma_arr[i];
             int cbp = cbp_luma | (cbp_chroma << 4);
 
+            bool done_mb = false;
             if (sad[i] > intra_thresh) {
                 // host intra fallback against current recon neighbours
                 int32_t ipred[256];
@@ -874,70 +1242,92 @@ int hb264_encode_p_slice(
                 int64_t icost = sad16(&src_y[y0 * ls + x0], ls, ipred);
                 if (icost < (int64_t)sad[i]) {
                     write_intra_mb(bw, ctx, P, mbx, mby, imode, ipred, qp,
-                                   qpc, true, &skip_run);
-                    if (bw.overflow) return -1;
-                    continue;
+                                   qpc, true, &skip_run, cb);
+                    done_mb = true;
                 }
             }
 
-            int smx, smy;
-            skip_mv(ctx, mbx, mby, &smx, &smy);
-            if (cbp == 0 && mvx_ == smx && mvy_ == smy) {
-                // P_Skip — recon already in the pre-filled planes
-                ctx.mvx[i] = mvx_; ctx.mvy[i] = mvy_; ctx.ref[i] = 0;
-                skip_run++;
-                continue;
+            if (!done_mb) {
+                int smx, smy;
+                skip_mv(ctx, mbx, mby, &smx, &smy);
+                if (cbp == 0 && mvx_ == smx && mvy_ == smy) {
+                    // P_Skip — recon already in the pre-filled planes
+                    ctx.mvx[i] = mvx_; ctx.mvy[i] = mvy_; ctx.ref[i] = 0;
+                    if (cb) cabac_write_skip(*cb, mbx, mby, ctx);
+                    else skip_run++;
+                    done_mb = true;
+                }
             }
 
-            int pmx, pmy;
-            predict_mv(ctx, mbx, mby, &pmx, &pmy);
-            bw.ue(skip_run);
-            skip_run = 0;
-            bw.ue(0);  // mb_type P_L0_16x16
-            bw.se(mvx_ - pmx);
-            bw.se(mvy_ - pmy);
-            bw.ue(CBP_INTER_INV[cbp]);
-            if (cbp != 0) bw.se(0);  // mb_qp_delta
-            int b0y = mby * 4, b0x = mbx * 4;
-            int W4 = mb_w * 4;
-            if (cbp_luma) {
-                for (int k = 0; k < 16; k++) {
-                    int ridx = CODED_ORDER[k];
-                    int quad = (ridx / 8) * 2 + (ridx % 4) / 2;
-                    int by = b0y + ridx / 4, bx = b0x + ridx % 4;
-                    if (!((cbp_luma >> quad) & 1)) {
-                        ctx.nnz_l[by * W4 + bx] = 0;
-                        continue;
+            if (!done_mb) {
+                int pmx, pmy;
+                predict_mv(ctx, mbx, mby, &pmx, &pmy);
+                int32_t udc4[4], vdc4[4], uac4[4][16], vac4[4][16];
+                for (int k = 0; k < 4; k++) {
+                    udc4[k] = udc_a[i * 4 + k];
+                    vdc4[k] = vdc_a[i * 4 + k];
+                    for (int t = 0; t < 16; t++) {
+                        uac4[k][t] = uac_a[(i * 4 + k) * 16 + t];
+                        vac4[k][t] = vac_a[(i * 4 + k) * 16 + t];
                     }
-                    int nc = ctx.nc_luma(by, bx);
-                    const int16_t* blk = &luma_lv[(i * 16 + ridx) * 16];
-                    int32_t z[16];
-                    for (int t = 0; t < 16; t++) z[t] = blk[ZIGZAG_4x4[t]];
-                    int tc = encode_residual(bw, z, nc, 16);
-                    ctx.nnz_l[by * W4 + bx] = tc;
                 }
-            } else {
-                for (int r = 0; r < 4; r++)
-                    for (int c = 0; c < 4; c++)
-                        ctx.nnz_l[(b0y + r) * W4 + b0x + c] = 0;
-            }
-            int32_t udc4[4], vdc4[4], uac4[4][16], vac4[4][16];
-            for (int k = 0; k < 4; k++) {
-                udc4[k] = udc_a[i * 4 + k];
-                vdc4[k] = vdc_a[i * 4 + k];
-                for (int t = 0; t < 16; t++) {
-                    uac4[k][t] = uac_a[(i * 4 + k) * 16 + t];
-                    vac4[k][t] = vac_a[(i * 4 + k) * 16 + t];
+                if (cb) {
+                    int32_t lv16[16][16];
+                    for (int blk = 0; blk < 16; blk++)
+                        for (int t = 0; t < 16; t++)
+                            lv16[blk][t] = luma_lv[(i * 16 + blk) * 16 + t];
+                    cabac_mb_skip(*cb, mbx, mby, 0);
+                    cabac_write_inter(*cb, ctx, mbx, mby,
+                                      mvx_ - pmx, mvy_ - pmy,
+                                      cbp_luma, cbp_chroma, lv16,
+                                      udc4, uac4, vdc4, vac4);
+                } else {
+                    bw.ue(skip_run);
+                    skip_run = 0;
+                    bw.ue(0);  // mb_type P_L0_16x16
+                    bw.se(mvx_ - pmx);
+                    bw.se(mvy_ - pmy);
+                    bw.ue(CBP_INTER_INV[cbp]);
+                    if (cbp != 0) bw.se(0);  // mb_qp_delta
+                    int b0y = mby * 4, b0x = mbx * 4;
+                    int W4 = mb_w * 4;
+                    if (cbp_luma) {
+                        for (int k = 0; k < 16; k++) {
+                            int ridx = CODED_ORDER[k];
+                            int quad = (ridx / 8) * 2 + (ridx % 4) / 2;
+                            int by = b0y + ridx / 4, bx = b0x + ridx % 4;
+                            if (!((cbp_luma >> quad) & 1)) {
+                                ctx.nnz_l[by * W4 + bx] = 0;
+                                continue;
+                            }
+                            int nc = ctx.nc_luma(by, bx);
+                            const int16_t* blk = &luma_lv[(i * 16 + ridx) * 16];
+                            int32_t z[16];
+                            for (int t = 0; t < 16; t++)
+                                z[t] = blk[ZIGZAG_4x4[t]];
+                            int tc = encode_residual(bw, z, nc, 16);
+                            ctx.nnz_l[by * W4 + bx] = tc;
+                        }
+                    } else {
+                        for (int r = 0; r < 4; r++)
+                            for (int c = 0; c < 4; c++)
+                                ctx.nnz_l[(b0y + r) * W4 + b0x + c] = 0;
+                    }
+                    write_chroma_residual(bw, ctx, mbx, mby, cbp_chroma,
+                                          udc4, uac4, vdc4, vac4);
                 }
+                // recon already in the pre-filled planes
+                ctx.mvx[i] = mvx_; ctx.mvy[i] = mvy_; ctx.ref[i] = 0;
             }
-            write_chroma_residual(bw, ctx, mbx, mby, cbp_chroma,
-                                  udc4, uac4, vdc4, vac4);
-            // recon already in the pre-filled planes
-            ctx.mvx[i] = mvx_; ctx.mvy[i] = mvy_; ctx.ref[i] = 0;
+            if (cb) cb->e.terminate(i == n_mb - 1);  // end_of_slice_flag
             if (bw.overflow) return -1;
         }
-    if (skip_run > 0) bw.ue(skip_run);
-    bw.rbsp_trailing();
+    if (cb) {
+        if (bw.nbits) bw.put(0, 8 - bw.nbits);  // trailing alignment zeros
+    } else {
+        if (skip_run > 0) bw.ue(skip_run);
+        bw.rbsp_trailing();
+    }
     if (bw.overflow) return -1;
     return bw.pos;
 }

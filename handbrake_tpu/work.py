@@ -49,8 +49,16 @@ def create_video_encoder(job: Job, width: int, height: int,
     backend = "device" if _device_ok() else "host"
     if job.vcodec in ("h264_tpu", "x264", "h264"):
         from .codecs.h264.encoder import EncoderConfig, H264Encoder
+        # Entropy coder selection (encx264.c profile plumbing): main/high
+        # profile or a cabac=1 option turns on CABAC.  TODO(flip to
+        # default-on like x264 once the universal decoder replaces the
+        # CAVLC-subset read path).
+        opts = dict(kv.split("=", 1) for kv in
+                    (job.encoder_options or "").split(":") if "=" in kv)
+        cabac = (job.encoder_profile in ("main", "high")
+                 or opts.get("cabac", "0") == "1")
         cfg = EncoderConfig(
-            width=width, height=height, qp=qp, gop=gop,
+            width=width, height=height, qp=qp, gop=gop, cabac=cabac,
             fps=(vrate.numerator, vrate.denominator), backend=backend)
         return H264Encoder(cfg)
     if job.vcodec in ("hevc_tpu", "x265", "hevc", "h265"):
