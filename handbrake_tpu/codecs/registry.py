@@ -23,8 +23,15 @@ class VideoDecoder:
 
 class H264VideoDecoder(VideoDecoder):
     def __init__(self, extradata: bytes = b""):
-        from .h264.decoder import H264Decoder
-        self.dec = H264Decoder()
+        # universal native decoder (hbdec264.cpp: CAVLC+CABAC, all intra
+        # modes / partition shapes, multi-ref, deblock); python decoder
+        # (own-subset) is the no-native fallback
+        try:
+            from .h264.native_decoder import NativeH264Decoder
+            self.dec = NativeH264Decoder()
+        except Exception:
+            from .h264.decoder import H264Decoder
+            self.dec = H264Decoder()
         self._info: dict = {}
         if extradata:
             self._feed_avcc_config(extradata)

@@ -30,7 +30,7 @@ def _sources() -> tuple:
     with open(os.path.join(_DIR, "hb264.cpp")) as f:
         cpp = f.read()
     aux = {}
-    for name in ("cabac264.h", "cabac_tables_h264.h"):
+    for name in ("cabac264.h", "cabac_tables_h264.h", "hbdec264.cpp"):
         with open(os.path.join(_DIR, name)) as f:
             aux[name] = f.read()
     return tables, cpp, aux
@@ -54,11 +54,12 @@ def _build() -> str | None:
     src = os.path.join(workdir, "hb264.cpp")
     with open(src, "w") as f:
         f.write(cpp)
+    src2 = os.path.join(workdir, "hbdec264.cpp")
     # per-process tmp name: concurrent first builds must not publish a .so
     # another process is still writing (os.replace is atomic per file only)
     tmp = f"{so_path}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-I", workdir, src, "-o", tmp]
+           "-I", workdir, src, src2, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except (subprocess.SubprocessError, FileNotFoundError):
@@ -87,6 +88,23 @@ def _bind(lib):
         u8p, u8p, u8p, u8p, ctypes.c_int]
     lib.hb264_rbsp_to_ebsp.restype = ctypes.c_int
     lib.hb264_rbsp_to_ebsp.argtypes = [u8p, ctypes.c_int, u8p, ctypes.c_int]
+    # universal H.264 decoder (hbdec264.cpp)
+    lib.hbdec264_create.restype = ctypes.c_void_p
+    lib.hbdec264_free.argtypes = [ctypes.c_void_p]
+    lib.hbdec264_error.restype = ctypes.c_char_p
+    lib.hbdec264_error.argtypes = [ctypes.c_void_p]
+    lib.hbdec264_send_nal.restype = ctypes.c_int
+    lib.hbdec264_send_nal.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int]
+    lib.hbdec264_get_frame.restype = ctypes.c_int
+    lib.hbdec264_get_frame.argtypes = [
+        ctypes.c_void_p, u8p, u8p, u8p,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_int)]
+    lib.hbdec264_geometry.restype = ctypes.c_int
+    lib.hbdec264_geometry.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
     return lib
 
 
