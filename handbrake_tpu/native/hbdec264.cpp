@@ -2236,6 +2236,7 @@ static bool parse_mb_cavlc(Dec& D, BR& br, int mbx, int mby, MB& m) {
     }
     if (t == 25) {                             // I_PCM
         m.pcm = true;
+        m.qp = 0;          // spec 8.7: I_PCM filters with QPY = 0
         while (br.pos & 7) br.bit();           // pcm_alignment_zero_bit
         for (int i = 0; i < 384; i++) m.pcm_data[i] = (uint8_t)br.u(8);
         for (int i = 0; i < 16; i++) m.nnz[i] = 16;
@@ -2286,6 +2287,8 @@ static bool decode_slice_cavlc(Dec& D, BR& br) {
             while (run-- > 0 && mb < n_mb) {
                 int mbx = mb % D.mb_w, mby = mb / D.mb_w;
                 MB m;
+                if (getenv("HBDEC_TRACE"))
+                    fprintf(stderr, "mb %d skip qp %d\n", mb, D.cur_qp);
                 decode_skip_mb(D, mbx, mby, m);
                 recon_mb(D, m, mbx, mby);
                 store_mb_state(D, m, mbx, mby);
@@ -2603,7 +2606,8 @@ static void begin_picture(Dec& D, int nal_ref_idc) {
 
 static void finish_picture(Handle& H, int nal_ref_idc) {
     Dec& D = H.D;
-    deblock_picture(D);
+    if (!getenv("HBDEC_NODEBLOCK"))
+        deblock_picture(D);
     // save co-located motion for temporal direct (B slices)
     size_t ng = (size_t)D.gw * D.gh;
     for (int l = 0; l < 2; l++) {
@@ -2667,6 +2671,10 @@ static int handle_slice(Handle& H, BR& br, const uint8_t* rbsp, int nbytes,
         D.fail("P slice without references");
         return -1;
     }
+    if (getenv("HBDEC_TRACE"))
+        fprintf(stderr, "=== slice first_mb %d type %d qp %d dbl %d ao %d bo %d\n",
+                D.sh.first_mb, D.sh.type, D.sh.qp, D.sh.disable_deblock,
+                D.sh.alpha_off, D.sh.beta_off);
     bool ok;
     if (D.pps.cabac) {
         int startbit = (br.pos + 7) & ~7;       // cabac_alignment_one_bits
@@ -3147,6 +3155,8 @@ static bool decode_slice_cabac(Dec& D, const uint8_t* rbsp, int nbytes,
         if (skip) {
             decode_skip_mb(D, mbx, mby, m);
             D.prev_qp_delta_nz = 0;
+            if (getenv("HBDEC_TRACE"))
+                fprintf(stderr, "mb %d skip\n", mb);
         } else {
             if (!parse_mb_cabac(D, cb, mbx, mby, m)) {
                 D.fail("cabac mb parse error");

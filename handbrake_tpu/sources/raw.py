@@ -141,6 +141,31 @@ class AnnexBReader:
         self.tracks = [TrackInfo(
             kind="video", codec=codec,
             frame_rate=(fps.numerator, fps.denominator))]
+        self._probe_geometry()
+
+    def _probe_geometry(self):
+        """Parse the first SPS for dimensions/rate (scan info() role)."""
+        from ..codecs.h264.bits import ebsp_to_rbsp, split_annexb
+        try:
+            for nal in split_annexb(self.data[:1 << 16]):
+                if self.codec == "h264" and (nal[0] & 0x1F) == 7:
+                    from ..codecs.h264.syntax import SPS
+                    sps = SPS.parse(ebsp_to_rbsp(nal[1:]))
+                    self.tracks[0].width = sps.width
+                    self.tracks[0].height = sps.height
+                    if sps.vui_timing:
+                        nu, ts = sps.vui_timing
+                        self.tracks[0].frame_rate = (ts, nu * 2)
+                        self.fps = Fraction(ts, nu * 2)
+                    break
+                if self.codec == "hevc" and ((nal[0] >> 1) & 0x3F) == 33:
+                    from ..codecs.hevc.syntax import SPS as HSPS
+                    sps = HSPS.parse(ebsp_to_rbsp(nal[2:]))
+                    self.tracks[0].width = sps.width
+                    self.tracks[0].height = sps.height
+                    break
+        except Exception:
+            pass
 
     def _split_access_units(self) -> list:
         """Split on slice NALs whose first_mb_in_slice == 0 (H.264) or

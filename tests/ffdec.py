@@ -144,8 +144,10 @@ class FFDecoder:
 
     @staticmethod
     def _split_aus_annexb(stream: bytes, kind: str) -> list:
-        """Split an annex-B stream into access units: each packet carries
-        any leading non-VCL NALs plus exactly one VCL NAL."""
+        """Split an annex-B stream into access units.  A picture may span
+        several slice NALs; a new AU starts at a VCL NAL whose
+        first_mb_in_slice is 0 (first slice-header bit '1' for h264;
+        first_slice_segment_in_pic flag for hevc)."""
         import re
         starts = [m.start() for m in re.finditer(b"\x00\x00\x00\x01",
                                                  stream)]
@@ -153,16 +155,21 @@ class FFDecoder:
             return [stream]
         starts.append(len(stream))
         aus, cur = [], b""
+        cur_has_vcl = False
         for s, e in zip(starts, starts[1:]):
             nal = stream[s:e]
-            cur += nal
             if kind == "h264":
                 vcl = (nal[4] & 0x1F) in (1, 5)
+                first = vcl and len(nal) > 5 and (nal[5] & 0x80) != 0
             else:  # hevc: nal_unit_type in [0, 31] are VCL
                 vcl = ((nal[4] >> 1) & 0x3F) <= 31
-            if vcl:
+                first = vcl and len(nal) > 6 and (nal[6] & 0x80) != 0
+            if vcl and first and cur_has_vcl:
                 aus.append(cur)
                 cur = b""
+                cur_has_vcl = False
+            cur += nal
+            cur_has_vcl = cur_has_vcl or vcl
         if cur:
             aus.append(cur)
         return aus

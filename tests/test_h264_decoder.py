@@ -99,3 +99,29 @@ def test_registry_uses_universal_decoder():
     from handbrake_tpu.codecs.registry import create_video_decoder
     d = create_video_decoder("h264")
     assert type(d.dec).__name__ in ("NativeH264Decoder", "H264Decoder")
+
+
+# ---------------------------------------------------------------------------
+# Randomized syntax conformance (tools/h264_synth.py): streams exercising
+# I_4x4 (all 9 modes), I_16x16, I_PCM, every P partition shape, multi-ref
+# with per-partition ref_idx, mb_qp_delta, skip runs, per-slice deblock
+# parameters and multi-slice pictures.  libavcodec is ground truth.
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("seed", [0, 3, 7, 11])
+def test_fuzz_conformance(seed):
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import ffdec
+    if not ffdec.available():
+        pytest.skip("libavcodec oracle unavailable")
+    from tools.h264_synth import synth_stream
+    stream = synth_stream(mb_w=5, mb_h=4, n_frames=6, seed=seed, max_ref=3,
+                          multi_slice=(seed % 3 == 0))
+    dec = _native_decoder()
+    ours = dec.decode(stream)
+    ref = ffdec.decode_yuv(stream, "h264")
+    assert len(ours) == len(ref) == 6
+    for i, (a, b) in enumerate(zip(ours, ref)):
+        for k in range(3):
+            assert np.array_equal(a[k], b[k]), f"seed {seed} f{i} p{k}"
