@@ -153,6 +153,71 @@ class AV1VideoDecoder(VideoDecoder):
         return {}
 
 
+class MJPEGVideoDecoder(VideoDecoder):
+    """Motion-JPEG (native hbdecmjpeg.cpp): per-frame baseline JPEG with
+    in-stream tables — the decavcodec.c MJPEG personality."""
+
+    def __init__(self, extradata: bytes = b""):
+        import ctypes
+
+        import numpy as np
+
+        from ..native import get_lib
+        self.lib = get_lib()
+        if self.lib is None or not hasattr(self.lib, "hbdecmjpeg_decode"):
+            raise RuntimeError("native mjpeg decoder unavailable")
+        self._np = np
+        self._ct = ctypes
+        self._info: dict = {}
+
+    def _u8p(self, a):
+        return a.ctypes.data_as(self._ct.POINTER(self._ct.c_uint8))
+
+    def feed(self, buf: Buffer) -> list:
+        np, ct = self._np, self._ct
+        if not buf.data:
+            return []
+        data = np.frombuffer(buf.data, np.uint8)
+        w = ct.c_int(); h = ct.c_int(); hs = ct.c_int(); vs = ct.c_int()
+        if self.lib.hbdecmjpeg_info(self._u8p(data), data.size,
+                                    ct.byref(w), ct.byref(h),
+                                    ct.byref(hs), ct.byref(vs)):
+            return []
+        W, H = w.value, h.value
+        if (hs.value, vs.value) not in ((2, 2), (1, 1), (2, 1)):
+            return []
+        cw = (W + hs.value - 1) // hs.value
+        ch = (H + vs.value - 1) // vs.value
+        y = np.empty((H, W), np.uint8)
+        u = np.empty((ch, cw), np.uint8)
+        v = np.empty((ch, cw), np.uint8)
+        if self.lib.hbdecmjpeg_decode(self._u8p(data), data.size,
+                                      self._u8p(y), self._u8p(u),
+                                      self._u8p(v)):
+            return []
+        if (hs.value, vs.value) == (1, 1):       # 4:4:4 → 4:2:0
+            u = ((u[0::2, 0::2].astype(np.uint16)
+                  + u[1::2, 0::2] + u[0::2, 1::2] + u[1::2, 1::2] + 2)
+                 >> 2).astype(np.uint8)
+            v = ((v[0::2, 0::2].astype(np.uint16)
+                  + v[1::2, 0::2] + v[0::2, 1::2] + v[1::2, 1::2] + 2)
+                 >> 2).astype(np.uint8)
+        elif (hs.value, vs.value) == (2, 1):     # 4:2:2 → 4:2:0
+            u = ((u[0::2].astype(np.uint16) + u[1::2] + 1) >> 1).astype(
+                np.uint8)
+            v = ((v[0::2].astype(np.uint16) + v[1::2] + 1) >> 1).astype(
+                np.uint8)
+        if not self._info:
+            self._info = {"width": W, "height": H, "pix_fmt": "yuv420p"}
+        fb = Buffer(planes=[y, u, v],
+                    pix_fmt=PIX_FMTS["yuv420p"]).copy_props(buf)
+        fb.data = None
+        return [fb]
+
+    def info(self) -> dict:
+        return dict(self._info)
+
+
 class RawVideoDecoder(VideoDecoder):
     """Identity: sources like y4m already yield raw frames."""
 
@@ -161,6 +226,8 @@ class RawVideoDecoder(VideoDecoder):
 
 
 def create_video_decoder(codec: str, extradata: bytes = b"") -> VideoDecoder:
+    if codec == "mjpeg":
+        return MJPEGVideoDecoder(extradata)
     if codec == "h264":
         return H264VideoDecoder(extradata)
     if codec == "hevc":

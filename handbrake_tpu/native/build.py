@@ -30,7 +30,8 @@ def _sources() -> tuple:
     with open(os.path.join(_DIR, "hb264.cpp")) as f:
         cpp = f.read()
     aux = {}
-    for name in ("cabac264.h", "cabac_tables_h264.h", "hbdec264.cpp"):
+    for name in ("cabac264.h", "cabac_tables_h264.h", "hbdec264.cpp",
+                 "hbdecmjpeg.cpp"):
         with open(os.path.join(_DIR, name)) as f:
             aux[name] = f.read()
     return tables, cpp, aux
@@ -55,11 +56,12 @@ def _build() -> str | None:
     with open(src, "w") as f:
         f.write(cpp)
     src2 = os.path.join(workdir, "hbdec264.cpp")
+    src3 = os.path.join(workdir, "hbdecmjpeg.cpp")
     # per-process tmp name: concurrent first builds must not publish a .so
     # another process is still writing (os.replace is atomic per file only)
     tmp = f"{so_path}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-I", workdir, src, src2, "-o", tmp]
+           "-I", workdir, src, src2, src3, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except (subprocess.SubprocessError, FileNotFoundError):
@@ -88,6 +90,14 @@ def _bind(lib):
         u8p, u8p, u8p, u8p, ctypes.c_int]
     lib.hb264_rbsp_to_ebsp.restype = ctypes.c_int
     lib.hb264_rbsp_to_ebsp.argtypes = [u8p, ctypes.c_int, u8p, ctypes.c_int]
+    # MJPEG decoder (hbdecmjpeg.cpp)
+    lib.hbdecmjpeg_info.restype = ctypes.c_int
+    lib.hbdecmjpeg_info.argtypes = [
+        u8p, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
+    lib.hbdecmjpeg_decode.restype = ctypes.c_int
+    lib.hbdecmjpeg_decode.argtypes = [u8p, ctypes.c_int, u8p, u8p, u8p]
     # universal H.264 decoder (hbdec264.cpp)
     lib.hbdec264_create.restype = ctypes.c_void_p
     lib.hbdec264_free.argtypes = [ctypes.c_void_p]

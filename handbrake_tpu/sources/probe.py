@@ -15,7 +15,7 @@ from .mkv import MKVDemuxer, probe_is_mkv
 from .mp4 import MP4Demuxer, probe_is_mp4
 from .raw import AnnexBReader, Y4MReader
 
-_VIDEO_EXTS = {".mp4", ".m4v", ".mov", ".mkv", ".webm", ".y4m", ".264",
+_VIDEO_EXTS = {".mp4", ".m4v", ".mov", ".mkv", ".webm", ".y4m", ".264", ".avi",
                ".h264", ".avc", ".265", ".h265", ".hevc", ".ts", ".m2ts"}
 
 
@@ -30,6 +30,9 @@ def open_source(path: str):
         return MKVDemuxer(path)
     if head.startswith(b"YUV4MPEG2"):
         return Y4MReader(path)
+    if head.startswith(b"RIFF") and head[8:12] == b"AVI ":
+        from .avi import AVIDemuxer
+        return AVIDemuxer(path)
     ext = os.path.splitext(path)[1].lower()
     if ext in (".ts", ".m2ts", ".mts"):
         from .ts import TSDemuxer
