@@ -403,10 +403,13 @@ struct Dec {
     std::vector<uint8_t> mb_intra, mb_skip, mb_i16, mb_dc_cbf, mb_pcm;
     std::vector<uint8_t> mb_cdc_cbf[2];
     std::vector<uint8_t> mb_cbp, mb_cmode, mb_t8x8;
+    std::vector<uint8_t> mb_bds;       // B_Skip / B_Direct_16x16 (ctx 27)
+    int16_t imp_w[32][32];             // implicit bipred w1 per (r0,r1)
     std::vector<int8_t> mb_qp;
     std::vector<int8_t> ipred4;        // per 4x4: intra4x4 pred mode (-1)
     std::vector<int16_t> mvd_grid[2];  // per 4x4 per comp: |mvd| for cabac
     std::vector<Pic*> refpic[2];       // resolved reference picture per 4x4
+    std::vector<uint8_t> mv_done[2];   // motion decoded per 4x4 (decode order)
     std::vector<int8_t> mb_dbf_disable, mb_alpha_off, mb_beta_off;
     std::vector<uint8_t> mb_done;
     std::vector<uint8_t> mb_field;     // always 0 (progressive)
@@ -837,6 +840,26 @@ struct Dec {
                    (int)reflist[l].size() < sh.num_ref_idx[l])
                 reflist[l].push_back(reflist[l].back());
         }
+        if (sh.type == B_SLICE && pps.weighted_bipred_idc == 2)
+            compute_implicit();
+    }
+
+    // implicit weighted bipred table (spec 8.4.2.3.1): w1 per ref pair
+    void compute_implicit() {
+        for (size_t r0 = 0; r0 < reflist[0].size() && r0 < 32; r0++)
+            for (size_t r1 = 0; r1 < reflist[1].size() && r1 < 32; r1++) {
+                int w = 32;
+                Pic* p0 = reflist[0][r0];
+                Pic* p1 = reflist[1][r1];
+                int td = iclip(p1->poc - p0->poc, -128, 127);
+                if (td != 0 && !p0->long_term && !p1->long_term) {
+                    int tb = iclip(cur->poc - p0->poc, -128, 127);
+                    int tx = (16384 + (td >= 0 ? td : -td) / 2) / td;
+                    int dsf = iclip((tb * tx + 32) >> 6, -1024, 1023) >> 2;
+                    if (dsf >= -64 && dsf <= 128) w = dsf;
+                }
+                imp_w[r0][r1] = (int16_t)w;
+            }
     }
 
     void mark_references(int nal_ref_idc) {
@@ -1541,6 +1564,8 @@ static NB nb_at(Dec& D, int l, int gx, int gy) {
     if (g_pc.mb_slice[mb] != g_pc.slice_id) return n;
     int8_t r = D.refidx[l][gy * D.gw + gx];
     if (r == -2) return n;        // not yet parsed (after current MB)
+    if (!D.mv_done[l][gy * D.gw + gx]) return n;  // ref parsed, mv pending:
+                                  // later partition in decode order
     n.mbav = true;
     if (r >= 0) {
         n.avail = true;
@@ -1557,6 +1582,16 @@ static void mv_pred(Dec& D, int l, int gx, int gy, int w4, int h4, int r,
     NB A = nb_at(D, l, gx - 1, gy);
     NB B = nb_at(D, l, gx, gy - 1);
     NB C = nb_at(D, l, gx + w4, gy - 1);
+    // same-MB topright later in z-scan order is "not yet decoded"
+    // (6.4.11.7) even when a direct quadrant derived its motion early
+    if ((gx + w4) >> 2 == gx >> 2 && gy > 0 && (gy - 1) >> 2 == gy >> 2) {
+        auto zidx = [](int bx, int by) {
+            return (((by >> 1) * 2 + (bx >> 1)) << 2) |
+                   ((by & 1) * 2 + (bx & 1));
+        };
+        if (zidx((gx + w4) & 3, (gy - 1) & 3) > zidx(gx & 3, gy & 3))
+            C = NB();
+    }
     if (!C.mbav) C = nb_at(D, l, gx - 1, gy - 1);   // D substitution
     // directional special cases
     if (w4 == 4 && h4 == 2) {                       // 16x8
@@ -1620,6 +1655,7 @@ static void set_mv(Dec& D, MB& m, int mbx, int mby, int l, int bx0, int by0,
             D.mvd_grid[l][gi * 2 + 1] = (int16_t)(mdy < 0 ? -mdy : mdy);
             D.refpic[l][gi] = (r >= 0 && r < (int)D.reflist[l].size())
                                   ? D.reflist[l][r] : nullptr;
+            D.mv_done[l][gi] = 1;
         }
 }
 
@@ -1637,7 +1673,160 @@ static void flush_mv_grids(Dec& D, MB& m, int mbx, int mby) {
                     ? -m.mvd[l][bi][0] : m.mvd[l][bi][0];
                 D.mvd_grid[l][gi * 2 + 1] = m.mvd[l][bi][1] < 0
                     ? -m.mvd[l][bi][1] : m.mvd[l][bi][1];
+                D.mv_done[l][gi] = 1;
             }
+}
+
+// write refidx only (B MBs: all ref_idx precede all mvd in the syntax, and
+// CABAC ref_idx contexts read earlier partitions' refidx from the grids)
+static void set_ref_only(Dec& D, MB& m, int mbx, int mby, int l, int bx0,
+                         int by0, int w4, int h4, int r) {
+    for (int y = 0; y < h4; y++)
+        for (int x = 0; x < w4; x++) {
+            int bi = (by0 + y) * 4 + bx0 + x;
+            m.ref[l][bi] = (int8_t)r;
+            int gi = (mby * 4 + by0 + y) * D.gw + mbx * 4 + bx0 + x;
+            D.refidx[l][gi] = (int8_t)r;
+            D.refpic[l][gi] = (r >= 0 && r < (int)D.reflist[l].size())
+                                  ? D.reflist[l][r] : nullptr;
+        }
+}
+
+// a decoded partition that does not use list l: refidx -1, zero mv, and
+// motion-decoded (available-with-no-list for later predictors)
+static void mark_list_unused(Dec& D, MB& m, int mbx, int mby, int l,
+                             int bx0, int by0, int w4, int h4) {
+    for (int y = 0; y < h4; y++)
+        for (int x = 0; x < w4; x++) {
+            int bi = (by0 + y) * 4 + bx0 + x;
+            m.ref[l][bi] = -1;
+            m.mvs[l][bi][0] = m.mvs[l][bi][1] = 0;
+            m.mvd[l][bi][0] = m.mvd[l][bi][1] = 0;
+            int gi = (mby * 4 + by0 + y) * D.gw + mbx * 4 + bx0 + x;
+            D.refidx[l][gi] = -1;
+            D.refpic[l][gi] = nullptr;
+            D.mv[l][gi * 2] = D.mv[l][gi * 2 + 1] = 0;
+            D.mvd_grid[l][gi * 2] = D.mvd_grid[l][gi * 2 + 1] = 0;
+            D.mv_done[l][gi] = 1;
+        }
+}
+
+// ---------------------------------------------------------------------------
+// B direct motion (spec 8.4.1.2) — spatial & temporal, 8x8 inference
+// ---------------------------------------------------------------------------
+struct DirectCtx {
+    bool prepared = false;
+    Pic* col = nullptr;            // RefPicList1[0]
+    bool col_st = false;           // colocated picture is short-term
+    // spatial MB-level derivation (8.4.1.2.2)
+    bool zero_pred = false;
+    int ref[2] = {-1, -1};
+    int mvx[2] = {0, 0}, mvy[2] = {0, 0};
+};
+
+static void direct_prepare(Dec& D, int mbx, int mby, DirectCtx& dc) {
+    if (dc.prepared) return;
+    dc.prepared = true;
+    dc.col = D.reflist[1].empty() ? nullptr : D.reflist[1][0];
+    dc.col_st = dc.col && !dc.col->long_term;
+    if (!D.sh.direct_spatial) return;
+    int gx = mbx * 4, gy = mby * 4;
+    auto minpos = [](int a, int b) {
+        return (a >= 0 && b >= 0) ? imin(a, b) : imax(a, b);
+    };
+    for (int l = 0; l < 2; l++) {
+        NB A = nb_at(D, l, gx - 1, gy);
+        NB B = nb_at(D, l, gx, gy - 1);
+        NB C = nb_at(D, l, gx + 4, gy - 1);
+        if (!C.mbav) C = nb_at(D, l, gx - 1, gy - 1);
+        dc.ref[l] = minpos(minpos(A.avail ? A.ref : -1,
+                                  B.avail ? B.ref : -1),
+                           C.avail ? C.ref : -1);
+    }
+    if (dc.ref[0] < 0 && dc.ref[1] < 0) {
+        dc.zero_pred = true;               // directZeroPredictionFlag
+        dc.ref[0] = dc.ref[1] = 0;
+        return;
+    }
+    for (int l = 0; l < 2; l++)
+        if (dc.ref[l] >= 0)
+            mv_pred(D, l, gx, gy, 4, 4, dc.ref[l], &dc.mvx[l], &dc.mvy[l]);
+}
+
+// colZeroFlag for the colocated 4x4 at grid (cgx, cgy)
+static bool col_zero(Dec& D, DirectCtx& dc, int cgx, int cgy) {
+    if (!dc.col || !dc.col_st) return false;
+    size_t gi = (size_t)cgy * D.gw + cgx;
+    int l = dc.col->refidx[0][gi] >= 0 ? 0 : 1;
+    if (dc.col->refidx[l][gi] != 0) return false;  // intra (-1) or ref > 0
+    int mx = dc.col->mv[l][gi * 2], my = dc.col->mv[l][gi * 2 + 1];
+    return mx >= -1 && mx <= 1 && my >= -1 && my <= 1;
+}
+
+// temporal direct (8.4.1.2.3) for one 4x4, colocated sampled at (cgx,cgy)
+static void direct_temporal_block(Dec& D, MB& m, int mbx, int mby,
+                                  DirectCtx& dc, int bx, int by,
+                                  int cgx, int cgy) {
+    int mvcx = 0, mvcy = 0, r0 = 0;
+    Pic* col = dc.col;
+    if (!col || D.reflist[0].empty()) { D.fail("temporal direct: no refs");
+                                        return; }
+    size_t gi = (size_t)cgy * D.gw + cgx;
+    int l = col->refidx[0][gi] >= 0 ? 0 : 1;
+    int rc = col->refidx[l][gi];
+    if (rc >= 0) {                       // inter colocated: map ref by POC
+        mvcx = col->mv[l][gi * 2];
+        mvcy = col->mv[l][gi * 2 + 1];
+        int rpoc = col->refpoc[l][gi];
+        for (size_t k = 0; k < D.reflist[0].size(); k++)
+            if (D.reflist[0][k]->poc == rpoc) { r0 = (int)k; break; }
+    }
+    Pic* pic0 = D.reflist[0][r0];
+    int m0x, m0y, m1x, m1y;
+    int td = iclip(col->poc - pic0->poc, -128, 127);
+    if (pic0->long_term || td == 0) {
+        m0x = mvcx; m0y = mvcy; m1x = 0; m1y = 0;
+    } else {
+        int tb = iclip(D.cur->poc - pic0->poc, -128, 127);
+        int tx = (16384 + (td >= 0 ? td : -td) / 2) / td;
+        int dsf = iclip((tb * tx + 32) >> 6, -1024, 1023);
+        m0x = (dsf * mvcx + 128) >> 8;
+        m0y = (dsf * mvcy + 128) >> 8;
+        m1x = m0x - mvcx; m1y = m0y - mvcy;
+    }
+    set_mv(D, m, mbx, mby, 0, bx, by, 1, 1, r0, m0x, m0y, 0, 0);
+    set_mv(D, m, mbx, mby, 1, bx, by, 1, 1, 0, m1x, m1y, 0, 0);
+}
+
+// apply direct prediction to 8x8 quadrant q of the MB
+static void direct_apply_quad(Dec& D, MB& m, int mbx, int mby,
+                              DirectCtx& dc, int q) {
+    direct_prepare(D, mbx, mby, dc);
+    int qx = (q & 1) * 2, qy = (q >> 1) * 2;
+    int g0x = mbx * 4, g0y = mby * 4;
+    bool inf = D.sps.direct_8x8_inference != 0;
+    int corner_x = (q & 1) ? 3 : 0, corner_y = (q >> 1) ? 3 : 0;
+    for (int sy = 0; sy < 2; sy++)
+        for (int sx = 0; sx < 2; sx++) {
+            int bx = qx + sx, by = qy + sy;
+            int cgx = inf ? g0x + corner_x : g0x + bx;
+            int cgy = inf ? g0y + corner_y : g0y + by;
+            if (D.sh.direct_spatial) {
+                bool cz = !dc.zero_pred && col_zero(D, dc, cgx, cgy);
+                for (int l = 0; l < 2; l++) {
+                    int r = dc.ref[l];
+                    if (r < 0) {
+                        mark_list_unused(D, m, mbx, mby, l, bx, by, 1, 1);
+                        continue;
+                    }
+                    int mx = dc.mvx[l], my = dc.mvy[l];
+                    if (dc.zero_pred || (cz && r == 0)) { mx = 0; my = 0; }
+                    set_mv(D, m, mbx, mby, l, bx, by, 1, 1, r, mx, my, 0, 0);
+                }
+            } else {
+                direct_temporal_block(D, m, mbx, mby, dc, bx, by, cgx, cgy);
+            }
+        }
 }
 
 // ---------------------------------------------------------------------------
@@ -1800,10 +1989,19 @@ static void combine_pred(Dec& D, MB& m, int b4, bool bi,
     int r0 = m.ref[0][b4], r1 = m.ref[1][b4];
     if (sh.type == P_SLICE && D.pps.weighted_pred) weighted = true;
     if (sh.type == B_SLICE && D.pps.weighted_bipred_idc == 1) weighted = true;
-    // implicit weighted bipred (idc 2) for B handled via precomputed w
     int wy[2] = {1, 1}, oy[2] = {0, 0}, ldy = 0;
     int wc[2][2] = {{1, 1}, {1, 1}}, oc[2][2] = {{0, 0}, {0, 0}}, ldc = 0;
-    if (weighted) {
+    // implicit weighted bipred (idc 2, spec 8.4.2.3.1): only bipred blocks
+    // are weighted, with the POC-distance table built per slice
+    if (sh.type == B_SLICE && D.pps.weighted_bipred_idc == 2 && bi) {
+        weighted = true;
+        ldy = ldc = 5;
+        int w1 = D.imp_w[r0 & 31][r1 & 31];
+        wy[0] = 64 - w1; wy[1] = w1;
+        for (int c = 0; c < 2; c++) {
+            wc[0][c] = 64 - w1; wc[1][c] = w1;
+        }
+    } else if (weighted) {
         ldy = sh.luma_log2_wd; ldc = sh.chroma_log2_wd;
         for (int l = 0; l < 2; l++) {
             int r = l == 0 ? r0 : r1;
@@ -1815,30 +2013,29 @@ static void combine_pred(Dec& D, MB& m, int b4, bool bi,
             }
         }
     }
-    auto put = [&](uint8_t* dst, int dstride, int16_t buf[2][256], int bw,
-                   int bh, int bstride, int w0, int w1, int o0, int o1,
-                   int ld) {
+    auto put = [&](uint8_t* dst, int dstride, const int16_t* b0,
+                   const int16_t* b1, int bw, int bh, int bstride,
+                   int w0, int w1, int o0, int o1, int ld) {
         for (int y = 0; y < bh; y++)
             for (int x = 0; x < bw; x++) {
                 int v;
                 if (bi) {
                     if (weighted || ld)
-                        v = ((buf[0][y * bstride + x] * w0 +
-                              buf[1][y * bstride + x] * w1 +
+                        v = ((b0[y * bstride + x] * w0 +
+                              b1[y * bstride + x] * w1 +
                               (1 << ld)) >> (ld + 1)) + ((o0 + o1 + 1) >> 1);
                     else
-                        v = (buf[0][y * bstride + x] +
-                             buf[1][y * bstride + x] + 1) >> 1;
+                        v = (b0[y * bstride + x] +
+                             b1[y * bstride + x] + 1) >> 1;
                 } else {
-                    int16_t* b = buf[0];
                     if (weighted) {
                         int wl = l_single == 0 ? w0 : w1;
                         int ol = l_single == 0 ? o0 : o1;
-                        v = ld > 0 ? ((b[y * bstride + x] * wl +
+                        v = ld > 0 ? ((b0[y * bstride + x] * wl +
                                        (1 << (ld - 1))) >> ld) + ol
-                                   : b[y * bstride + x] * wl + ol;
+                                   : b0[y * bstride + x] * wl + ol;
                     } else {
-                        v = b[y * bstride + x];
+                        v = b0[y * bstride + x];
                     }
                 }
                 dst[y * dstride + x] = clip255(v);
@@ -1853,10 +2050,11 @@ static void combine_pred(Dec& D, MB& m, int b4, bool bi,
         }
         l_single = 0;
     }
-    put(py_, D.W, bufy, 4, 4, 16, wy[0], wy[1], oy[0], oy[1], ldy);
-    put(pu_, D.W / 2, (int16_t (*)[256])bufu, 2, 2, 8,
+    put(py_, D.W, bufy[0], bufy[1], 4, 4, 16,
+        wy[0], wy[1], oy[0], oy[1], ldy);
+    put(pu_, D.W / 2, bufu[0], bufu[1], 2, 2, 8,
         wc[0][0], wc[1][0], oc[0][0], oc[1][0], ldc);
-    put(pv_, D.W / 2, (int16_t (*)[256])bufv, 2, 2, 8,
+    put(pv_, D.W / 2, bufv[0], bufv[1], 2, 2, 8,
         wc[0][1], wc[1][1], oc[0][1], oc[1][1], ldc);
 }
 
@@ -1939,6 +2137,7 @@ static void store_mb_state(Dec& D, MB& m, int mbx, int mby) {
     D.mb_skip[i] = m.skip;
     D.mb_i16[i] = m.i16;
     D.mb_pcm[i] = m.pcm;
+    D.mb_bds[i] = m.b_direct ? 1 : 0;
     D.mb_cbp[i] = (uint8_t)(m.pcm ? 0x2F : m.cbp);
     D.mb_cmode[i] = (uint8_t)m.cmode;
     D.mb_qp[i] = (int8_t)m.qp;
@@ -2181,6 +2380,118 @@ static bool parse_p_partitions(Dec& D, MB& m, int mbx, int mby,
     return true;
 }
 
+// B mb_type tables (spec Table 7-14): partition shape (0 16x16, 1 16x8,
+// 2 8x16, 3 8x8) and per-partition prediction masks (1 L0, 2 L1, 3 Bi)
+static const int8_t kBShape[23] = {0, 0, 0, 0, 1, 2, 1, 2, 1, 2, 1, 2,
+                                   1, 2, 1, 2, 1, 2, 1, 2, 1, 2, 3};
+static const int8_t kBPred[23][2] = {
+    {0, 0}, {1, 0}, {2, 0}, {3, 0},
+    {1, 1}, {1, 1}, {2, 2}, {2, 2}, {1, 2}, {1, 2}, {2, 1}, {2, 1},
+    {1, 3}, {1, 3}, {2, 3}, {2, 3}, {3, 1}, {3, 1}, {3, 2}, {3, 2},
+    {3, 3}, {3, 3}, {0, 0}};
+// B sub_mb_type (Table 7-18): pred mask + shape (0 8x8, 1 8x4, 2 4x8, 3 4x4)
+static const int8_t kBSubPred[13] = {0, 1, 2, 3, 1, 1, 2, 2, 3, 3, 1, 2, 3};
+static const int8_t kBSubShape[13] = {0, 0, 0, 0, 1, 2, 1, 2, 1, 2, 3, 3, 3};
+
+static bool parse_b_partitions(Dec& D, MB& m, int mbx, int mby, int mb_type,
+                               SymIO& io, DirectCtx& dc) {
+    int g0x = mbx * 4, g0y = mby * 4;
+    if (mb_type == 0) {                            // B_Direct_16x16
+        for (int q = 0; q < 4; q++) direct_apply_quad(D, m, mbx, mby, dc, q);
+        m.b_direct = true;
+        m.part = 3;
+        return true;
+    }
+    if (mb_type < 22) {
+        int shape = kBShape[mb_type];
+        int np = shape == 0 ? 1 : 2;
+        int refs[2][2] = {{-1, -1}, {-1, -1}};
+        // all ref_idx_l0, then all ref_idx_l1 (spec 7.3.5.1 mb_pred)
+        for (int l = 0; l < 2; l++)
+            for (int p = 0; p < np; p++) {
+                int bx0 = shape == 2 ? p * 2 : 0;
+                int by0 = shape == 1 ? p * 2 : 0;
+                int w4 = shape == 2 ? 2 : 4, h4 = shape == 1 ? 2 : 4;
+                int r = -1;
+                if ((kBPred[mb_type][p] >> l) & 1)
+                    r = D.sh.num_ref_idx[l] > 1
+                            ? io.ref(l, g0x + bx0, g0y + by0) : 0;
+                refs[l][p] = r;
+                set_ref_only(D, m, mbx, mby, l, bx0, by0, w4, h4, r);
+            }
+        // all mvd_l0, then all mvd_l1
+        for (int l = 0; l < 2; l++)
+            for (int p = 0; p < np; p++) {
+                int bx0 = shape == 2 ? p * 2 : 0;
+                int by0 = shape == 1 ? p * 2 : 0;
+                int w4 = shape == 2 ? 2 : 4, h4 = shape == 1 ? 2 : 4;
+                if (refs[l][p] < 0) {
+                    mark_list_unused(D, m, mbx, mby, l, bx0, by0, w4, h4);
+                    continue;
+                }
+                int px, py;
+                mv_pred(D, l, g0x + bx0, g0y + by0, w4, h4, refs[l][p],
+                        &px, &py);
+                int dx = io.mvd(l, 0, g0x + bx0, g0y + by0);
+                int dy = io.mvd(l, 1, g0x + bx0, g0y + by0);
+                set_mv(D, m, mbx, mby, l, bx0, by0, w4, h4, refs[l][p],
+                       px + dx, py + dy, dx, dy);
+            }
+        m.part = shape;
+        return true;
+    }
+    // B_8x8
+    for (int q = 0; q < 4; q++) {
+        m.sub[q] = io.sub_type();
+        if ((unsigned)m.sub[q] > 12) { D.fail("bad B sub_mb_type");
+                                       return false; }
+    }
+    // direct quadrants derive motion before any ref/mvd parse: their
+    // refidx/mv feed later quadrants' contexts and predictors
+    for (int q = 0; q < 4; q++)
+        if (m.sub[q] == 0) direct_apply_quad(D, m, mbx, mby, dc, q);
+    for (int l = 0; l < 2; l++)
+        for (int q = 0; q < 4; q++) {
+            int st = m.sub[q];
+            if (st == 0) continue;
+            int qx = (q & 1) * 2, qy = (q >> 1) * 2;
+            int r = -1;
+            if ((kBSubPred[st] >> l) & 1)
+                r = D.sh.num_ref_idx[l] > 1
+                        ? io.ref(l, g0x + qx, g0y + qy) : 0;
+            set_ref_only(D, m, mbx, mby, l, qx, qy, 2, 2, r);
+        }
+    for (int l = 0; l < 2; l++)
+        for (int q = 0; q < 4; q++) {
+            int st = m.sub[q];
+            if (st == 0) continue;
+            int qx = (q & 1) * 2, qy = (q >> 1) * 2;
+            if (!((kBSubPred[st] >> l) & 1)) {
+                mark_list_unused(D, m, mbx, mby, l, qx, qy, 2, 2);
+                continue;
+            }
+            int r = m.ref[l][qy * 4 + qx];
+            int shape = kBSubShape[st];
+            int nsub = shape == 0 ? 1 : (shape == 3 ? 4 : 2);
+            for (int sp = 0; sp < nsub; sp++) {
+                int bx, by, w4, h4;
+                if (shape == 0) { bx = qx; by = qy; w4 = 2; h4 = 2; }
+                else if (shape == 1) { bx = qx; by = qy + sp; w4 = 2; h4 = 1; }
+                else if (shape == 2) { bx = qx + sp; by = qy; w4 = 1; h4 = 2; }
+                else { bx = qx + (sp & 1); by = qy + (sp >> 1);
+                       w4 = 1; h4 = 1; }
+                int px, py;
+                mv_pred(D, l, g0x + bx, g0y + by, w4, h4, r, &px, &py);
+                int dx = io.mvd(l, 0, g0x + bx, g0y + by);
+                int dy = io.mvd(l, 1, g0x + bx, g0y + by);
+                set_mv(D, m, mbx, mby, l, bx, by, w4, h4, r,
+                       px + dx, py + dy, dx, dy);
+            }
+        }
+    m.part = 3;
+    return true;
+}
+
 }  // namespace hbdec
 
 namespace hbdec {
@@ -2189,7 +2500,9 @@ struct CavlcIO : SymIO {
     Dec& D; BR& br;
     CavlcIO(Dec& d, BR& b) : D(d), br(b) {}
     int sub_type() override { return (int)br.ue(); }
-    int ref(int, int, int) override { return te(br, D.sh.num_ref_idx[0] - 1); }
+    int ref(int l, int, int) override {
+        return te(br, D.sh.num_ref_idx[l] - 1);
+    }
     int mvd(int, int, int, int) override { return br.se(); }
 };
 
@@ -2214,6 +2527,20 @@ static bool parse_mb_cavlc(Dec& D, BR& br, int mbx, int mby, MB& m) {
             return parse_residual_cavlc(D, br, m, mbx, mby);
         }
         t = mb_type - 5;
+    } else if (D.sh.type == B_SLICE) {
+        if (mb_type < 23) {
+            m.intra = false;
+            CavlcIO io(D, br);
+            DirectCtx dc;
+            if (!parse_b_partitions(D, m, mbx, mby, mb_type, io, dc))
+                return false;
+            int code = (int)br.ue();
+            if (code > 47) return false;
+            m.cbp = CBP_INTER_DEC[code];
+            if (m.cbp) apply_qp_delta(D, m, br.se());
+            return parse_residual_cavlc(D, br, m, mbx, mby);
+        }
+        t = mb_type - 23;
     }
     m.intra = true;
     if (t == 0) {                              // I_NxN (4x4)
@@ -2261,13 +2588,20 @@ static bool parse_mb_cavlc(Dec& D, BR& br, int mbx, int mby, MB& m) {
     return parse_residual_cavlc(D, br, m, mbx, mby);
 }
 
-// P_Skip macroblock
+// P_Skip / B_Skip macroblock
 static void decode_skip_mb(Dec& D, int mbx, int mby, MB& m) {
     init_mb(m, D.cur_qp);
     m.skip = true;
     m.intra = false;
     m.part = 0;
     g_pc.mb_slice[mby * D.mb_w + mbx] = g_pc.slice_id;
+    if (D.sh.type == B_SLICE) {                 // B_Skip = direct, no coeffs
+        DirectCtx dc;
+        for (int q = 0; q < 4; q++) direct_apply_quad(D, m, mbx, mby, dc, q);
+        m.b_direct = true;
+        m.part = 3;
+        return;
+    }
     int px, py;
     pskip_mv(D, mbx * 4, mby * 4, &px, &py);
     set_mv(D, m, mbx, mby, 0, 0, 0, 4, 4, 0, px, py, 0, 0);
@@ -2579,6 +2913,7 @@ static void begin_picture(Dec& D, int nal_ref_idc) {
         D.refidx[l].assign(ng, -2);
         D.mvd_grid[l].assign(ng * 2, 0);
         D.refpic[l].assign(ng, nullptr);
+        D.mv_done[l].assign(ng, 0);
         D.nnz_c[l].assign((size_t)D.mb_w * 2 * D.mb_h * 2, 0);
         D.mb_cdc_cbf[l].assign(nmb, 0);
     }
@@ -2589,6 +2924,7 @@ static void begin_picture(Dec& D, int nal_ref_idc) {
     D.mb_i16.assign(nmb, 0);
     D.mb_pcm.assign(nmb, 0);
     D.mb_dc_cbf.assign(nmb, 0);
+    D.mb_bds.assign(nmb, 0);
     D.mb_cbp.assign(nmb, 0);
     D.mb_cmode.assign(nmb, 0);
     D.mb_qp.assign(nmb, (int8_t)D.sh.qp);
@@ -2655,7 +2991,6 @@ static int handle_slice(Handle& H, BR& br, const uint8_t* rbsp, int nbytes,
     if (!D.parse_slice_header(br, nal_type, nal_ref_idc)) return -1;
     if (D.err) return -1;
     if (D.sh.redundant_pic_cnt > 0) return 0;   // ignore redundant slices
-    if (D.sh.type == B_SLICE) { D.fail("B slices not yet supported"); return -1; }
     if (D.sh.first_mb == 0) {
         if (D.cur) finish_picture(H, H.cur_ref_idc);  // truncated picture
         begin_picture(D, nal_ref_idc);
@@ -2885,6 +3220,18 @@ struct CabacIO : SymIO {
     Dec& D; CabacDec& cb;
     CabacIO(Dec& d, CabacDec& c) : D(d), cb(c) {}
     int sub_type() override {
+        if (D.sh.type == B_SLICE) {            // Table 9-38, ctx 36..39
+            if (!cb.decode(36)) return 0;      // B_Direct_8x8
+            if (!cb.decode(37)) return 1 + cb.decode(39);
+            int type = 3;
+            if (cb.decode(38)) {
+                if (cb.decode(39)) return 11 + cb.decode(39);
+                type += 4;
+            }
+            type += 2 * cb.decode(39);
+            type += cb.decode(39);
+            return type;
+        }
         if (cb.decode(21)) return 0;
         if (!cb.decode(22)) return 1;
         return cb.decode(23) ? 2 : 3;
@@ -3070,6 +3417,48 @@ static bool parse_mb_cabac(Dec& D, CabacDec& cb, int mbx, int mby, MB& m) {
             int mode = 2 * cb.decode(20) + cb.decode(20);
             t = 1 + mode + 4 * cc + 12 * ac;
         }
+    } else if (D.sh.type == B_SLICE) {
+        // B mb_type binarization (Table 9-37, ctx 27..32)
+        auto bdterm = [&](int ni) -> int {
+            if (ni < 0) return 0;
+            return D.mb_bds[ni] ? 0 : 1;       // skip/direct16 neighbours
+        };
+        int inc = bdterm(h.left()) + bdterm(h.top());
+        int mb_type;
+        if (!cb.decode(27 + inc)) mb_type = 0;
+        else if (!cb.decode(30)) mb_type = 1 + cb.decode(32);
+        else {
+            int bits = cb.decode(31) << 3;
+            bits |= cb.decode(32) << 2;
+            bits |= cb.decode(32) << 1;
+            bits |= cb.decode(32);
+            if (bits < 8) mb_type = bits + 3;
+            else if (bits == 13) mb_type = -1;          // intra escape
+            else if (bits == 14) mb_type = 11;
+            else if (bits == 15) mb_type = 22;
+            else mb_type = ((bits << 1) | cb.decode(32)) - 4;
+        }
+        if (mb_type >= 0) {
+            m.intra = false;
+            CabacIO io(D, cb);
+            DirectCtx dc;
+            if (!parse_b_partitions(D, m, mbx, mby, mb_type, io, dc))
+                return false;
+            m.cbp = cabac_cbp(D, cb, h);
+            if (m.cbp) apply_qp_delta(D, m, cabac_mb_qp_delta(D, cb));
+            else D.prev_qp_delta_nz = 0;
+            return parse_residual_cabac(D, cb, m, mbx, mby);
+        }
+        // intra suffix, ctx base 32
+        if (!cb.decode(32)) is_i4 = true;
+        else if (cb.terminate()) is_pcm = true;
+        else {
+            is_i16 = true;
+            int ac = cb.decode(33);
+            int cc = cb.decode(34) ? (cb.decode(34) ? 2 : 1) : 0;
+            int mode = 2 * cb.decode(35) + cb.decode(35);
+            t = 1 + mode + 4 * cc + 12 * ac;
+        }
     } else {
         auto term = [&](int ni) -> int {
             if (ni < 0) return 0;
@@ -3150,7 +3539,8 @@ static bool decode_slice_cabac(Dec& D, const uint8_t* rbsp, int nbytes,
             CabacCtxHelp h(D, mbx, mby);
             int a = h.left() >= 0 && !D.mb_skip[h.left()];
             int b = h.top() >= 0 && !D.mb_skip[h.top()];
-            skip = cb.decode(11 + a + b);
+            int base = D.sh.type == B_SLICE ? 24 : 11;
+            skip = cb.decode(base + a + b);
         }
         if (skip) {
             decode_skip_mb(D, mbx, mby, m);

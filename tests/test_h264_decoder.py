@@ -125,3 +125,30 @@ def test_fuzz_conformance(seed):
     for i, (a, b) in enumerate(zip(ours, ref)):
         for k in range(3):
             assert np.array_equal(a[k], b[k]), f"seed {seed} f{i} p{k}"
+
+
+# B-slice conformance: IPBB GOPs with reordered POCs (poc_type 0), non-ref
+# B frames, every B mb_type / sub_mb_type, spatial+temporal direct with and
+# without 8x8 inference, implicit weighted bipred, B_Skip runs, multi-slice.
+@pytest.mark.parametrize("seed,ds,wbidc", [
+    (0, 1, 2), (1, 0, 2), (2, 1, 0), (3, 0, 0), (5, 1, 2), (9, 0, 2),
+])
+def test_fuzz_conformance_b(seed, ds, wbidc):
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import ffdec
+    if not ffdec.available():
+        pytest.skip("libavcodec oracle unavailable")
+    from tools.h264_synth import synth_stream_b
+    stream = synth_stream_b(mb_w=5, mb_h=4, n_gops=3, seed=seed,
+                            direct_spatial=ds, wbidc=wbidc,
+                            multi_slice=(seed % 3 == 0),
+                            inference=(0 if seed % 4 == 2 else 1))
+    dec = _native_decoder()
+    ours = dec.decode(stream)
+    ref = ffdec.decode_yuv(stream, "h264")
+    assert len(ours) == len(ref) == 10
+    for i, (a, b) in enumerate(zip(ours, ref)):
+        for k in range(3):
+            assert np.array_equal(a[k], b[k]), f"seed {seed} f{i} p{k}"

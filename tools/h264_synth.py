@@ -25,27 +25,30 @@ NAL_IDR, NAL_SLICE, NAL_SPS, NAL_PPS = 5, 1, 7, 8
 ZS16 = [0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15]
 
 
-def write_sps(mb_w, mb_h, max_ref=4, log2_mfn=4):
+def write_sps(mb_w, mb_h, max_ref=4, log2_mfn=4, poc_type=2,
+              log2_poc=6, direct_8x8_inference=1):
     bw = BitWriter()
-    bw.put(66, 8)          # baseline
+    bw.put(66, 8)          # baseline (66) / main-compatible syntax
     bw.put(0b11000000, 8)
     bw.put(30, 8)
     bw.ue(0)               # sps_id
     bw.ue(log2_mfn - 4)
-    bw.ue(2)               # poc_type 2
+    bw.ue(poc_type)
+    if poc_type == 0:
+        bw.ue(log2_poc - 4)
     bw.ue(max_ref)
     bw.put_bit(0)
     bw.ue(mb_w - 1)
     bw.ue(mb_h - 1)
     bw.put_bit(1)          # frame_mbs_only
-    bw.put_bit(1)          # direct_8x8_inference
+    bw.put_bit(direct_8x8_inference)
     bw.put_bit(0)          # no cropping
     bw.put_bit(0)          # no vui
     bw.rbsp_trailing()
     return nal_unit(3, NAL_SPS, bw.get_rbsp())
 
 
-def write_pps():
+def write_pps(wbidc=0):
     bw = BitWriter()
     bw.ue(0)
     bw.ue(0)
@@ -55,7 +58,7 @@ def write_pps():
     bw.ue(0)               # num_ref_idx_l0_default_active_minus1
     bw.ue(0)
     bw.put_bit(0)          # weighted_pred
-    bw.put(0, 2)
+    bw.put(wbidc, 2)       # weighted_bipred_idc (0 default / 2 implicit)
     bw.se(0)               # pic_init_qp 26
     bw.se(0)
     bw.se(0)               # chroma_qp_offset
@@ -68,7 +71,8 @@ def write_pps():
 
 class Synth:
     def __init__(self, mb_w, mb_h, rng, max_ref=4, force_i4_mode=None,
-                 force_mb=None):
+                 force_mb=None, poc_type=2, wbidc=0, direct_spatial=None,
+                 inference=1):
         self.mb_w, self.mb_h = mb_w, mb_h
         self.rng = rng
         self.force_i4_mode = force_i4_mode
@@ -76,12 +80,18 @@ class Synth:
         self.force_deblock = None
         self.max_ref = max_ref
         self.log2_mfn = 4
+        self.log2_poc = 6
+        self.poc_type = poc_type
+        self.wbidc = wbidc
+        self.direct_spatial = direct_spatial   # None → random per B slice
+        self.inference = inference
         self.frame_num = 0
         self.n_refs = 0            # refs currently in DPB
 
     def headers(self):
         return (write_sps(self.mb_w, self.mb_h, self.max_ref,
-                          self.log2_mfn) + write_pps())
+                          self.log2_mfn, self.poc_type, self.log2_poc,
+                          self.inference) + write_pps(self.wbidc))
 
     # ---- residual helpers -------------------------------------------------
     # Conformant streams must keep every inverse-transform intermediate in
@@ -261,6 +271,8 @@ class Synth:
 
     # ---- macroblocks ------------------------------------------------------
     def _write_intra_mb(self, bw, mbx, mby, p_slice, skip_run):
+        # p_slice: mb_type offset for intra in inter slices (False/0 → I
+        # slice, True → +5 (P), 23 → +23 (B))
         r = self.rng.random()
         if isinstance(self.force_mb, (tuple, list)):
             pick = self.rng.choice(self.force_mb)
@@ -271,9 +283,10 @@ class Synth:
             r = 0.9
         elif self.force_mb == "pcm":
             r = 0.0
+        off = 23 if p_slice == 'b' else (5 if p_slice else 0)
         if r < 0.04:
             # I_PCM (mb_type 25)
-            bw.ue((25 + 5) if p_slice else 25)
+            bw.ue(25 + off)
             while bw._nbits % 8:
                 bw.put_bit(0)
             for _ in range(384):
@@ -288,7 +301,7 @@ class Synth:
             # I_4x4
             modes = self._i4_modes(mbx, mby)
             cbp = int(self.rng.integers(0, 48))
-            bw.ue(5 if p_slice else 0)
+            bw.ue(off)
             for k in range(16):
                 b = ZS16[k]
                 gx, gy = mbx * 4 + b % 4, mby * 4 + b // 4
@@ -314,7 +327,7 @@ class Synth:
         cbp_c = int(self.rng.integers(0, 3))
         cbp_ac = int(self.rng.integers(0, 2))
         t = 1 + imode + 4 * cbp_c + 12 * cbp_ac
-        bw.ue(t + 5 if p_slice else t)
+        bw.ue(t + off)
         bw.ue(self._cmode(mbx, mby))
         self._qp_delta(bw)
         self._write_luma_residual(bw, mbx, mby, 15 if cbp_ac else 0, True)
@@ -380,19 +393,88 @@ class Synth:
         self._write_chroma_residual(bw, mbx, mby, cbp >> 4)
         self.ipred4[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 2
 
+    # B mb_type tables (spec Table 7-14 / 7-18), decoder-independent copy
+    B_SHAPE = [0, 0, 0, 0, 1, 2, 1, 2, 1, 2, 1, 2,
+               1, 2, 1, 2, 1, 2, 1, 2, 1, 2, 3]
+    B_PRED = [(0, 0), (1, 0), (2, 0), (3, 0),
+              (1, 1), (1, 1), (2, 2), (2, 2), (1, 2), (1, 2), (2, 1),
+              (2, 1), (1, 3), (1, 3), (2, 3), (2, 3), (3, 1), (3, 1),
+              (3, 2), (3, 2), (3, 3), (3, 3), (0, 0)]
+    B_SUB_PRED = [0, 1, 2, 3, 1, 1, 2, 2, 3, 3, 1, 2, 3]
+    B_SUB_NSUB = [1, 1, 1, 1, 2, 2, 2, 2, 2, 2, 4, 4, 4]
+
+    def _wref(self, bw, nref):
+        r = int(self.rng.integers(0, nref))
+        if nref == 2:
+            bw.put_bit(1 - r)
+        else:
+            bw.ue(r)
+
+    def _write_b_inter_mb(self, bw, mbx, mby, nref):
+        """One non-skip B inter MB; nref = (active_l0, active_l1)."""
+        mb_type = int(self.rng.integers(0, 23))
+        bw.ue(mb_type)
+        if mb_type == 0:                       # B_Direct_16x16
+            pass
+        elif mb_type < 22:
+            shape = self.B_SHAPE[mb_type]
+            np_ = 1 if shape == 0 else 2
+            for l in range(2):
+                for p in range(np_):
+                    if (self.B_PRED[mb_type][p] >> l) & 1 and nref[l] > 1:
+                        self._wref(bw, nref[l])
+            for l in range(2):
+                for p in range(np_):
+                    if (self.B_PRED[mb_type][p] >> l) & 1:
+                        mvx, mvy = self._mv()
+                        bw.se(mvx)
+                        bw.se(mvy)
+        else:                                  # B_8x8
+            subs = [int(self.rng.integers(0, 13)) for _ in range(4)]
+            for s in subs:
+                bw.ue(s)
+            for l in range(2):
+                for q in range(4):
+                    s = subs[q]
+                    if s and (self.B_SUB_PRED[s] >> l) & 1 and nref[l] > 1:
+                        self._wref(bw, nref[l])
+            for l in range(2):
+                for q in range(4):
+                    s = subs[q]
+                    if s and (self.B_SUB_PRED[s] >> l) & 1:
+                        for _ in range(self.B_SUB_NSUB[s]):
+                            mvx, mvy = self._mv()
+                            bw.se(mvx)
+                            bw.se(mvy)
+        cbp = int(self.rng.integers(0, 48))
+        bw.ue(CBP_INTER_INV[cbp])
+        if cbp:
+            self._qp_delta(bw)
+        self._write_luma_residual(bw, mbx, mby, cbp & 15, False)
+        self._write_chroma_residual(bw, mbx, mby, cbp >> 4)
+        self.ipred4[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 2
+
     # ---- slices -----------------------------------------------------------
-    def frame(self, idr=False, n_slices=1):
-        """Emit one coded frame (one or more slices)."""
+    def frame(self, idr=False, n_slices=1, kind=None, poc=0, ref=True):
+        """Emit one coded frame (one or more slices).
+
+        kind: None → legacy auto (I on idr else P); 'i'/'p'/'b' explicit.
+        poc: pic_order_cnt_lsb (poc_type 0 only). ref: reference picture.
+        """
         n_mb = self.mb_w * self.mb_h
         if idr:
             self.frame_num = 0
             self.n_refs = 0
+        if kind is None:
+            kind = 'i' if idr or self.n_refs == 0 else 'p'
         out = b""
         bounds = [0, n_mb]
         if n_slices == 2 and n_mb >= 4:
             bounds = [0, int(self.rng.integers(1, n_mb)), n_mb]
-        p_slice = not idr and self.n_refs > 0
-        nref = min(self.n_refs, self.max_ref) if p_slice else 0
+        p_slice = kind == 'p'
+        b_slice = kind == 'b'
+        navail = min(self.n_refs, self.max_ref)
+        nref = navail if p_slice else 0
         for si in range(len(bounds) - 1):
             first_mb, end_mb = bounds[si], bounds[si + 1]
             # per-slice neighbour state: blocks outside this slice are
@@ -405,11 +487,25 @@ class Synth:
                                   np.int32)
             bw = BitWriter()
             bw.ue(first_mb)
-            bw.ue((0 if p_slice else 2) + 5)
+            bw.ue({'p': 0, 'b': 1, 'i': 2}[kind] + 5)
             bw.ue(0)                       # pps
             bw.put(self.frame_num, self.log2_mfn)
             if idr:
                 bw.ue(0)                   # idr_pic_id
+            if self.poc_type == 0:
+                bw.put(poc % (1 << self.log2_poc), self.log2_poc)
+            if b_slice:
+                ds = (int(self.rng.integers(0, 2))
+                      if self.direct_spatial is None else
+                      int(self.direct_spatial))
+                bw.put_bit(ds)             # direct_spatial_mv_pred
+                nref_b = (min(navail, 1 + int(self.rng.integers(0, 2))),
+                          min(navail, 1 + int(self.rng.integers(0, 2))))
+                bw.put_bit(1)              # num_ref_idx override
+                bw.ue(nref_b[0] - 1)
+                bw.ue(nref_b[1] - 1)
+                bw.put_bit(0)              # no reordering l0
+                bw.put_bit(0)              # no reordering l1
             if p_slice:
                 if nref != 1:
                     bw.put_bit(1)          # num_ref_idx override
@@ -420,7 +516,7 @@ class Synth:
             if idr:
                 bw.put_bit(0)
                 bw.put_bit(0)
-            else:
+            elif ref:
                 bw.put_bit(0)              # no adaptive marking
             qp = 24 + int(self.rng.integers(0, 8))
             self.cur_qp = qp
@@ -439,8 +535,8 @@ class Synth:
             mb = first_mb
             while mb < end_mb:
                 mbx, mby = mb % self.mb_w, mb // self.mb_w
-                if p_slice:
-                    # skip run
+                if p_slice or b_slice:
+                    # skip run (P_Skip / B_Skip)
                     run = 0
                     while (mb + run < end_mb and
                            self.rng.random() < 0.2):
@@ -457,7 +553,11 @@ class Synth:
                     if mb >= end_mb:
                         break
                     mbx, mby = mb % self.mb_w, mb // self.mb_w
-                if p_slice and self.rng.random() < 0.25:
+                if b_slice and self.rng.random() < 0.2:
+                    self._write_intra_mb(bw, mbx, mby, 'b', 0)
+                elif b_slice:
+                    self._write_b_inter_mb(bw, mbx, mby, nref_b)
+                elif p_slice and self.rng.random() < 0.25:
                     self._write_intra_mb(bw, mbx, mby, True, 0)
                 elif p_slice:
                     self._write_inter_mb(bw, mbx, mby, nref)
@@ -465,10 +565,12 @@ class Synth:
                     self._write_intra_mb(bw, mbx, mby, False, 0)
                 mb += 1
             bw.rbsp_trailing()
-            out += nal_unit(3, NAL_IDR if idr else NAL_SLICE,
+            out += nal_unit(3 if ref else 0,
+                            NAL_IDR if idr else NAL_SLICE,
                             bw.get_rbsp())
-        self.frame_num = (self.frame_num + 1) % (1 << self.log2_mfn)
-        self.n_refs = min(self.n_refs + 1, self.max_ref)
+        if ref:
+            self.frame_num = (self.frame_num + 1) % (1 << self.log2_mfn)
+            self.n_refs = min(self.n_refs + 1, self.max_ref)
         return out
 
 
@@ -481,4 +583,24 @@ def synth_stream(mb_w=5, mb_h=4, n_frames=6, seed=0, max_ref=3,
     for i in range(n_frames):
         ns = 2 if (multi_slice and i % 2 == 1) else 1
         out += s.frame(idr=(i == 0), n_slices=ns)
+    return out
+
+
+def synth_stream_b(mb_w=5, mb_h=4, n_gops=3, seed=0, max_ref=3,
+                   direct_spatial=None, wbidc=2, inference=1,
+                   multi_slice=False):
+    """IPBB... stream with reordered POCs (poc_type 0), non-reference B
+    frames, direct modes (spatial/temporal) and implicit weighting."""
+    rng = np.random.default_rng(seed)
+    s = Synth(mb_w, mb_h, rng, max_ref=max_ref, poc_type=0, wbidc=wbidc,
+              direct_spatial=direct_spatial, inference=inference)
+    out = s.headers()
+    out += s.frame(idr=True, kind='i', poc=0, ref=True)
+    poc = 0
+    for g in range(n_gops):
+        ns = 2 if (multi_slice and g % 2 == 1) else 1
+        out += s.frame(kind='p', poc=poc + 6, ref=True)
+        out += s.frame(kind='b', poc=poc + 2, ref=False, n_slices=ns)
+        out += s.frame(kind='b', poc=poc + 4, ref=False)
+        poc += 6
     return out
