@@ -290,6 +290,12 @@ struct CabacDec {
         }
     }
     int decode(int ctx) {
+        int v = decode_inner(ctx);
+        if (getenv("HBDEC_BINTRACE"))
+            fprintf(stderr, "D %d %d\n", ctx, v);
+        return v;
+    }
+    int decode_inner(int ctx) {
         uint32_t rlps = kRangeTabLPS[state[ctx]][(range >> 6) & 3];
         range -= rlps;
         int b;
@@ -410,6 +416,7 @@ struct Dec {
     std::vector<int16_t> mvd_grid[2];  // per 4x4 per comp: |mvd| for cabac
     std::vector<Pic*> refpic[2];       // resolved reference picture per 4x4
     std::vector<uint8_t> mv_done[2];   // motion decoded per 4x4 (decode order)
+    std::vector<uint8_t> bdirect;      // 4x4 coded in B direct mode (ref ctx)
     std::vector<int8_t> mb_dbf_disable, mb_alpha_off, mb_beta_off;
     std::vector<uint8_t> mb_done;
     std::vector<uint8_t> mb_field;     // always 0 (progressive)
@@ -1804,6 +1811,9 @@ static void direct_apply_quad(Dec& D, MB& m, int mbx, int mby,
     direct_prepare(D, mbx, mby, dc);
     int qx = (q & 1) * 2, qy = (q >> 1) * 2;
     int g0x = mbx * 4, g0y = mby * 4;
+    for (int sy = 0; sy < 2; sy++)
+        for (int sx = 0; sx < 2; sx++)
+            D.bdirect[(g0y + qy + sy) * D.gw + g0x + qx + sx] = 1;
     bool inf = D.sps.direct_8x8_inference != 0;
     int corner_x = (q & 1) ? 3 : 0, corner_y = (q >> 1) ? 3 : 0;
     for (int sy = 0; sy < 2; sy++)
@@ -2324,7 +2334,9 @@ static bool parse_p_partitions(Dec& D, MB& m, int mbx, int mby,
         m.part = 0;
     } else if (mb_type == 1) {                 // 16x8
         int r0 = nref > 1 ? io.ref(0, g0x, g0y) : 0;
+        set_ref_only(D, m, mbx, mby, 0, 0, 0, 4, 2, r0);
         int r1 = nref > 1 ? io.ref(0, g0x, g0y + 2) : 0;
+        set_ref_only(D, m, mbx, mby, 0, 0, 2, 4, 2, r1);
         for (int p = 0; p < 2; p++) {
             int r = p == 0 ? r0 : r1;
             int px, py;
@@ -2337,7 +2349,9 @@ static bool parse_p_partitions(Dec& D, MB& m, int mbx, int mby,
         m.part = 1;
     } else if (mb_type == 2) {                 // 8x16
         int r0 = nref > 1 ? io.ref(0, g0x, g0y) : 0;
+        set_ref_only(D, m, mbx, mby, 0, 0, 0, 2, 4, r0);
         int r1 = nref > 1 ? io.ref(0, g0x + 2, g0y) : 0;
+        set_ref_only(D, m, mbx, mby, 0, 2, 0, 2, 4, r1);
         for (int p = 0; p < 2; p++) {
             int r = p == 0 ? r0 : r1;
             int px, py;
@@ -2352,9 +2366,12 @@ static bool parse_p_partitions(Dec& D, MB& m, int mbx, int mby,
         bool ref0 = mb_type == 4;
         for (int q = 0; q < 4; q++) m.sub[q] = io.sub_type();
         int refs[4] = {0, 0, 0, 0};
-        if (!ref0 && nref > 1)
-            for (int q = 0; q < 4; q++)
+        for (int q = 0; q < 4; q++) {
+            if (!ref0 && nref > 1)
                 refs[q] = io.ref(0, g0x + (q & 1) * 2, g0y + (q >> 1) * 2);
+            set_ref_only(D, m, mbx, mby, 0, (q & 1) * 2, (q >> 1) * 2,
+                         2, 2, refs[q]);
+        }
         for (int q = 0; q < 4; q++) {
             int qx = (q & 1) * 2, qy = (q >> 1) * 2;
             int st = m.sub[q];
@@ -2918,6 +2935,7 @@ static void begin_picture(Dec& D, int nal_ref_idc) {
         D.mb_cdc_cbf[l].assign(nmb, 0);
     }
     D.nnz_l.assign(ng, 0);
+    D.bdirect.assign(ng, 0);
     D.ipred4.assign(ng, -1);
     D.mb_intra.assign(nmb, 0);
     D.mb_skip.assign(nmb, 0);
@@ -3220,6 +3238,12 @@ struct CabacIO : SymIO {
     Dec& D; CabacDec& cb;
     CabacIO(Dec& d, CabacDec& c) : D(d), cb(c) {}
     int sub_type() override {
+        int v = sub_type_inner();
+        if (getenv("HBDEC_TRACE") && D.sh.type == B_SLICE)
+            fprintf(stderr, "  sub %d\n", v);
+        return v;
+    }
+    int sub_type_inner() {
         if (D.sh.type == B_SLICE) {            // Table 9-38, ctx 36..39
             if (!cb.decode(36)) return 0;      // B_Direct_8x8
             if (!cb.decode(37)) return 1 + cb.decode(39);
@@ -3237,10 +3261,17 @@ struct CabacIO : SymIO {
         return cb.decode(23) ? 2 : 3;
     }
     int ref(int l, int gx, int gy) override {
+        int v = ref_inner(l, gx, gy);
+        if (getenv("HBDEC_TRACE"))
+            fprintf(stderr, "  ref l%d (%d,%d) = %d\n", l, gx, gy, v);
+        return v;
+    }
+    int ref_inner(int l, int gx, int gy) {
         auto term = [&](int x, int y) -> int {
             if (x < 0 || y < 0 || x >= D.gw || y >= D.gh) return 0;
             int mb = (y >> 2) * D.mb_w + (x >> 2);
             if (g_pc.mb_slice[mb] != g_pc.slice_id) return 0;
+            if (D.bdirect[y * D.gw + x]) return 0;  // 9.3.3.1.1.6: direct
             int8_t r = D.refidx[l][y * D.gw + x];
             return r > 0 ? 1 : 0;
         };
@@ -3440,6 +3471,8 @@ static bool parse_mb_cabac(Dec& D, CabacDec& cb, int mbx, int mby, MB& m) {
         }
         if (mb_type >= 0) {
             m.intra = false;
+            if (getenv("HBDEC_TRACE"))
+                fprintf(stderr, "mb (%d,%d) btype %d\n", mbx, mby, mb_type);
             CabacIO io(D, cb);
             DirectCtx dc;
             if (!parse_b_partitions(D, m, mbx, mby, mb_type, io, dc))

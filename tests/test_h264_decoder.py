@@ -152,3 +152,46 @@ def test_fuzz_conformance_b(seed, ds, wbidc):
     for i, (a, b) in enumerate(zip(ours, ref)):
         for k in range(3):
             assert np.array_equal(a[k], b[k]), f"seed {seed} f{i} p{k}"
+
+
+# CABAC fuzz conformance (tools/h264_synth_cabac.py): spec 9.3.4 arithmetic
+# encoder + full syntax binarizations drive random I/P/B streams through
+# libavcodec and hbdec264; exercises mb_skip, all mb/sub types, neighbour
+# contexts (incl. the 9.3.3.1.1.6 direct-partition ref_idx rule), cbp,
+# mb_qp_delta, residual cats 0-4 and end_of_slice terminate bins.
+@pytest.mark.parametrize("seed", [0, 2, 5])
+def test_fuzz_conformance_cabac_ip(seed):
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import ffdec
+    if not ffdec.available():
+        pytest.skip("libavcodec oracle unavailable")
+    from tools.h264_synth_cabac import synth_stream_cabac
+    stream = synth_stream_cabac(mb_w=5, mb_h=4, n_frames=6, seed=seed,
+                                multi_slice=(seed % 3 == 0))
+    ours = _native_decoder().decode(stream)
+    ref = ffdec.decode_yuv(stream, "h264")
+    assert len(ours) == len(ref) == 6
+    for i, (a, b) in enumerate(zip(ours, ref)):
+        for k in range(3):
+            assert np.array_equal(a[k], b[k]), f"seed {seed} f{i} p{k}"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 4, 7])
+def test_fuzz_conformance_cabac_b(seed):
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import ffdec
+    if not ffdec.available():
+        pytest.skip("libavcodec oracle unavailable")
+    from tools.h264_synth_cabac import synth_stream_cabac_b
+    stream = synth_stream_cabac_b(mb_w=5, mb_h=4, n_gops=3, seed=seed,
+                                  multi_slice=(seed % 3 == 0))
+    ours = _native_decoder().decode(stream)
+    ref = ffdec.decode_yuv(stream, "h264")
+    assert len(ours) == len(ref) == 10
+    for i, (a, b) in enumerate(zip(ours, ref)):
+        for k in range(3):
+            assert np.array_equal(a[k], b[k]), f"seed {seed} f{i} p{k}"
