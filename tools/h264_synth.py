@@ -24,14 +24,72 @@ from handbrake_tpu.codecs.h264.tables import CBP_INTER_INV, CBP_INTRA4x4_INV
 NAL_IDR, NAL_SLICE, NAL_SPS, NAL_PPS = 5, 1, 7, 8
 ZS16 = [0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15]
 
+# 8x8 zig-zag scan (spec Table 8-8) and normAdjust8x8 class map (8.5.13)
+ZIG8 = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+V8 = [[20, 18, 32, 19, 25, 24], [22, 19, 35, 21, 28, 26],
+      [26, 23, 42, 24, 33, 31], [28, 25, 45, 26, 35, 33],
+      [32, 28, 51, 30, 40, 38], [36, 32, 58, 34, 46, 43]]
+
+
+def v8cls(i):
+    r, c = i >> 3, i & 7
+    if r % 4 == 0 and c % 4 == 0:
+        return 0
+    if r % 2 == 1 and c % 2 == 1:
+        return 1
+    if r % 4 == 2 and c % 4 == 2:
+        return 2
+    if (r % 4 == 0 and c % 2 == 1) or (r % 2 == 1 and c % 4 == 0):
+        return 3
+    if (r % 4 == 0 and c % 4 == 2) or (r % 4 == 2 and c % 4 == 0):
+        return 4
+    return 5
+
+
+def write_scaling_list(bw, vals):
+    """Emit one scaling list; vals in scan order, each in 1..255."""
+    last = 8
+    for v in vals:
+        bw.se((v - last + 128) % 256 - 128)
+        last = v
+
+
+def random_scaling(rng, size):
+    """A legal random scaling list (smooth walk, no zero deltas traps)."""
+    vals = []
+    v = 16
+    for _ in range(size):
+        v = int(min(40, max(8, v + rng.integers(-3, 4))))
+        vals.append(v)
+    return vals
+
 
 def write_sps(mb_w, mb_h, max_ref=4, log2_mfn=4, poc_type=2,
-              log2_poc=6, direct_8x8_inference=1):
+              log2_poc=6, direct_8x8_inference=1, profile=66,
+              seq_scaling=None):
     bw = BitWriter()
-    bw.put(66, 8)          # baseline (66) / main-compatible syntax
-    bw.put(0b11000000, 8)
+    bw.put(profile, 8)
+    bw.put(0b11000000 if profile == 66 else 0, 8)
     bw.put(30, 8)
     bw.ue(0)               # sps_id
+    if profile >= 100:     # High profile extension
+        bw.ue(1)           # chroma_format_idc 4:2:0
+        bw.ue(0)           # bit_depth_luma 8
+        bw.ue(0)           # bit_depth_chroma 8
+        bw.put_bit(0)      # qpprime_y_zero_transform_bypass
+        if seq_scaling is None:
+            bw.put_bit(0)
+        else:
+            bw.put_bit(1)
+            for i in range(8):
+                if seq_scaling[i] is None:
+                    bw.put_bit(0)
+                else:
+                    bw.put_bit(1)
+                    write_scaling_list(bw, seq_scaling[i])
     bw.ue(log2_mfn - 4)
     bw.ue(poc_type)
     if poc_type == 0:
@@ -48,11 +106,12 @@ def write_sps(mb_w, mb_h, max_ref=4, log2_mfn=4, poc_type=2,
     return nal_unit(3, NAL_SPS, bw.get_rbsp())
 
 
-def write_pps(wbidc=0):
+def write_pps(wbidc=0, cabac=0, t8=0, pic_scaling=None,
+              second_cqo=0):
     bw = BitWriter()
     bw.ue(0)
     bw.ue(0)
-    bw.put_bit(0)          # CAVLC
+    bw.put_bit(cabac)
     bw.put_bit(0)
     bw.ue(0)               # one slice group
     bw.ue(0)               # num_ref_idx_l0_default_active_minus1
@@ -65,6 +124,19 @@ def write_pps(wbidc=0):
     bw.put_bit(1)          # deblocking_filter_control_present
     bw.put_bit(0)
     bw.put_bit(0)
+    if t8 or pic_scaling is not None or second_cqo:
+        bw.put_bit(t8)     # transform_8x8_mode_flag
+        if pic_scaling is None:
+            bw.put_bit(0)
+        else:
+            bw.put_bit(1)
+            for i in range(6 + 2 * t8):
+                if pic_scaling[i] is None:
+                    bw.put_bit(0)
+                else:
+                    bw.put_bit(1)
+                    write_scaling_list(bw, pic_scaling[i])
+        bw.se(second_cqo)  # second_chroma_qp_index_offset
     bw.rbsp_trailing()
     return nal_unit(3, NAL_PPS, bw.get_rbsp())
 
@@ -72,7 +144,7 @@ def write_pps(wbidc=0):
 class Synth:
     def __init__(self, mb_w, mb_h, rng, max_ref=4, force_i4_mode=None,
                  force_mb=None, poc_type=2, wbidc=0, direct_spatial=None,
-                 inference=1):
+                 inference=1, profile=66, t8=0, scaling=False):
         self.mb_w, self.mb_h = mb_w, mb_h
         self.rng = rng
         self.force_i4_mode = force_i4_mode
@@ -85,13 +157,33 @@ class Synth:
         self.wbidc = wbidc
         self.direct_spatial = direct_spatial   # None → random per B slice
         self.inference = inference
+        self.profile = profile
+        self.t8 = t8                   # pps transform_8x8_mode
+        # random scaling matrices (some lists absent → fallback rules)
+        self.seq_scaling = None
+        self.pic_scaling = None
+        self.wmax = 16                 # conservative dequant-bound scale
+        if scaling:
+            self.seq_scaling = [random_scaling(rng, 16 if i < 6 else 64)
+                                if rng.random() < 0.7 else None
+                                for i in range(8)]
+            self.pic_scaling = ([random_scaling(rng, 16 if i < 6 else 64)
+                                 if rng.random() < 0.5 else None
+                                 for i in range(6 + 2 * t8)]
+                                if rng.random() < 0.5 else None)
+            allv = [v for ls in ([x for x in self.seq_scaling if x]
+                                 + ([x for x in (self.pic_scaling or [])
+                                     if x]))
+                    for v in ls]
+            self.wmax = max([16] + allv)
         self.frame_num = 0
         self.n_refs = 0            # refs currently in DPB
 
     def headers(self):
         return (write_sps(self.mb_w, self.mb_h, self.max_ref,
                           self.log2_mfn, self.poc_type, self.log2_poc,
-                          self.inference) + write_pps(self.wbidc))
+                          self.inference, self.profile, self.seq_scaling)
+                + write_pps(self.wbidc, 0, self.t8, self.pic_scaling))
 
     # ---- residual helpers -------------------------------------------------
     # Conformant streams must keep every inverse-transform intermediate in
@@ -123,25 +215,80 @@ class Synth:
         qp6 = qp // 6
         lv = np.zeros(n, np.int64)
         mask = self.rng.random(n) < density
+        wsc = self.wmax / 16.0         # scaling-matrix headroom
         for i in np.nonzero(mask)[0]:
             if kind == "ac":
                 scan_pos = i if n == 16 else i + 1
-                unit = self._unit4(qp, self._ZIG[scan_pos])
-                cap = max(1, self._BOUND // unit)
+                unit = int(self._unit4(qp, self._ZIG[scan_pos]) * wsc)
+                cap = max(1, self._BOUND // max(1, unit))
             elif kind == "ldc":
                 ls = 16 * self._V4[qp % 6][0]
                 unit = 16 * (ls << (qp6 - 6) if qp >= 36
                              else max(1, ls >> (6 - qp6)))
-                cap = max(0, self._BOUND // max(1, unit))
+                cap = max(0, self._BOUND // max(1, int(unit * wsc)))
             else:                                      # chroma dc
                 ls = 16 * self._V4[qp % 6][0]
-                unit = max(1, (4 * ls << qp6) >> 5)
+                unit = max(1, int(((4 * ls << qp6) >> 5) * wsc))
                 cap = max(0, self._BOUND // unit)
             if cap <= 0:
                 continue
             a = int(self.rng.integers(1, min(cap, amp) + 1))
             lv[i] = a * int(self.rng.choice([-1, 1]))
         return [int(v) for v in lv]
+
+    def _unit8(self, qp, raster_i):
+        ls = 16 * V8[qp % 6][v8cls(raster_i)]
+        qp6 = qp // 6
+        u = (ls << (qp6 - 6)) if qp6 >= 6 else max(1, ls >> (6 - qp6))
+        return max(1, int(u * self.wmax / 16.0))
+
+    def _levels8(self, density=0.2, amp=10):
+        """64 levels in 8x8 scan order, dequant-bounded."""
+        qp = self.cur_qp
+        lv = [0] * 64
+        mask = self.rng.random(64) < density
+        for i in np.nonzero(mask)[0]:
+            cap = max(0, self._BOUND // self._unit8(qp, ZIG8[i]))
+            if cap <= 0:
+                continue
+            a = int(self.rng.integers(1, min(cap, amp) + 1))
+            lv[i] = a * int(self.rng.choice([-1, 1]))
+        return lv
+
+    def _write_luma8_residual(self, bw, mbx, mby, cbp_luma):
+        """CAVLC 8x8: per coded 8x8 block, 4 interleaved 4x4 streams."""
+        b0y, b0x = mby * 4, mbx * 4
+        for k in range(16):
+            b = ZS16[k]
+            quad = (b // 8) * 2 + (b % 4) // 2
+            by, bx = b0y + b // 4, b0x + b % 4
+            if not ((cbp_luma >> quad) & 1):
+                self.nnz_l[by, bx] = 0
+                continue
+            if (k & 3) == 0:
+                self._cur_lv8 = self._levels8()
+            sub = [self._cur_lv8[4 * j + (k & 3)] for j in range(16)]
+            nc = self._nc_luma(by, bx)
+            tc = encode_residual(bw, sub, nc, 16)
+            self.nnz_l[by, bx] = tc
+
+    def _i8_modes(self, mbx, mby):
+        modes = []
+        for b8 in range(4):
+            bx, by = (b8 & 1) * 2, (b8 >> 1) * 2
+            gx, gy = mbx * 4 + bx, mby * 4 + by
+            has_left = self._nb_ok(gx - 1, gy, mbx, mby)
+            has_top = self._nb_ok(gx, gy - 1, mbx, mby)
+            has_tl = self._nb_ok(gx - 1, gy - 1, mbx, mby)
+            ok = [2]
+            if has_top:
+                ok += [0, 3, 7]
+            if has_left:
+                ok += [1, 8]
+            if has_top and has_left and has_tl:
+                ok += [4, 5, 6]
+            modes.append(int(self.rng.choice(ok)))
+        return modes
 
     def _nc_luma(self, by, bx):
         na = int(self.nnz_l[by, bx - 1]) if bx > 0 else -1
@@ -298,10 +445,35 @@ class Synth:
             self.ipred4[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 2
             return
         if r < 0.5:
-            # I_4x4
-            modes = self._i4_modes(mbx, mby)
-            cbp = int(self.rng.integers(0, 48))
+            # I_NxN (4x4 or, under transform_8x8_mode, 8x8)
             bw.ue(off)
+            use8 = self.t8 and self.rng.random() < 0.5
+            if self.t8:
+                bw.put_bit(1 if use8 else 0)
+            cbp = int(self.rng.integers(0, 48))
+            if use8:
+                modes = self._i8_modes(mbx, mby)
+                for b8 in range(4):
+                    bx, by = (b8 & 1) * 2, (b8 >> 1) * 2
+                    gx, gy = mbx * 4 + bx, mby * 4 + by
+                    pa = self.ipred4[gy, gx - 1] if gx > 0 else -1
+                    pb = self.ipred4[gy - 1, gx] if gy > 0 else -1
+                    mpm = 2 if (pa < 0 or pb < 0) else min(pa, pb)
+                    mode = modes[b8]
+                    if mode == mpm:
+                        bw.put_bit(1)
+                    else:
+                        bw.put_bit(0)
+                        bw.put(mode if mode < mpm else mode - 1, 3)
+                    self.ipred4[gy:gy + 2, gx:gx + 2] = mode
+                bw.ue(self._cmode(mbx, mby))
+                bw.ue(CBP_INTRA4x4_INV[cbp])
+                if cbp:
+                    self._qp_delta(bw)
+                self._write_luma8_residual(bw, mbx, mby, cbp & 15)
+                self._write_chroma_residual(bw, mbx, mby, cbp >> 4)
+                return
+            modes = self._i4_modes(mbx, mby)
             for k in range(16):
                 b = ZS16[k]
                 gx, gy = mbx * 4 + b % 4, mby * 4 + b // 4
@@ -387,9 +559,17 @@ class Synth:
                     bw.se(mvy)
         cbp = int(self.rng.integers(0, 48))
         bw.ue(CBP_INTER_INV[cbp])
+        use8 = False
+        if (self.t8 and (cbp & 15)
+                and (shape < 3 or all(s == 0 for s in subs))):
+            use8 = self.rng.random() < 0.5
+            bw.put_bit(1 if use8 else 0)
         if cbp:
             self._qp_delta(bw)
-        self._write_luma_residual(bw, mbx, mby, cbp & 15, False)
+        if use8:
+            self._write_luma8_residual(bw, mbx, mby, cbp & 15)
+        else:
+            self._write_luma_residual(bw, mbx, mby, cbp & 15, False)
         self._write_chroma_residual(bw, mbx, mby, cbp >> 4)
         self.ipred4[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 2
 
@@ -448,9 +628,24 @@ class Synth:
                             bw.se(mvy)
         cbp = int(self.rng.integers(0, 48))
         bw.ue(CBP_INTER_INV[cbp])
+        use8 = False
+        if self.t8 and (cbp & 15):
+            if mb_type == 0:
+                ok8 = bool(self.inference)
+            elif mb_type < 22:
+                ok8 = True
+            else:
+                ok8 = all((s == 0 and self.inference) or 1 <= s <= 3
+                          for s in subs)
+            if ok8:
+                use8 = self.rng.random() < 0.5
+                bw.put_bit(1 if use8 else 0)
         if cbp:
             self._qp_delta(bw)
-        self._write_luma_residual(bw, mbx, mby, cbp & 15, False)
+        if use8:
+            self._write_luma8_residual(bw, mbx, mby, cbp & 15)
+        else:
+            self._write_luma_residual(bw, mbx, mby, cbp & 15, False)
         self._write_chroma_residual(bw, mbx, mby, cbp >> 4)
         self.ipred4[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 2
 
@@ -602,5 +797,24 @@ def synth_stream_b(mb_w=5, mb_h=4, n_gops=3, seed=0, max_ref=3,
         out += s.frame(kind='p', poc=poc + 6, ref=True)
         out += s.frame(kind='b', poc=poc + 2, ref=False, n_slices=ns)
         out += s.frame(kind='b', poc=poc + 4, ref=False)
+        poc += 6
+    return out
+
+
+def synth_stream_high(mb_w=5, mb_h=4, n_gops=2, seed=0, max_ref=3,
+                      scaling=False, b_frames=True):
+    """High-profile CAVLC stream: 8x8 transform (intra + inter + B),
+    optional seq/pic scaling matrices with fall-back rules."""
+    rng = np.random.default_rng(seed)
+    s = Synth(mb_w, mb_h, rng, max_ref=max_ref, poc_type=0, wbidc=2,
+              profile=100, t8=1, scaling=scaling)
+    out = s.headers()
+    out += s.frame(idr=True, kind='i', poc=0, ref=True)
+    poc = 0
+    for g in range(n_gops):
+        out += s.frame(kind='p', poc=poc + 6, ref=True)
+        if b_frames:
+            out += s.frame(kind='b', poc=poc + 2, ref=False)
+            out += s.frame(kind='b', poc=poc + 4, ref=False)
         poc += 6
     return out
