@@ -36,6 +36,13 @@ class AudioChain:
                 if ti.channels > 2 else ti.channels
         self.gain = float(spec.gain or 0.0)
         self.drc = float(spec.drc or 0.0)
+        # dynamics (work.c:2042 per-track filter chain analog)
+        self.compressor = (dsp.Compressor(self.sr_out,
+                                          ratio=float(spec.compressor))
+                           if getattr(spec, "compressor", 0) else None)
+        self.gate = (dsp.Gate(self.sr_out,
+                              threshold_db=float(spec.gate))
+                     if getattr(spec, "gate", 0) else None)
         self.codec = spec.encoder
         self.samples_out = 0
         self._enc = self._make_encoder()
@@ -89,6 +96,10 @@ class AudioChain:
             pcm = dsp.apply_gain(pcm, self.gain)
         if self.drc > 1.0:
             pcm = dsp.apply_drc(pcm, self.drc)
+        if self.gate is not None:
+            pcm = self.gate.process(pcm)
+        if self.compressor is not None:
+            pcm = self.compressor.process(pcm)
         return self._encode(pcm)
 
     def _packet(self, data: bytes, nsamples: int) -> Buffer:

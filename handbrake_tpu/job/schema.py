@@ -84,6 +84,10 @@ class AudioJobTrack:
     samplerate: int = 0     # 0 = same as source
     gain: float = 0.0
     drc: float = 0.0
+    # dynamics processors (acompressor/agate analogs, audio/dsp.py):
+    # 0 = off; compressor value = ratio, gate value = threshold dB (<0)
+    compressor: float = 0.0
+    gate: float = 0.0
     name: str = ""
 
 
@@ -189,6 +193,7 @@ class Job:
                      "Bitrate": a.bitrate, "Mixdown": a.mixdown,
                      "Samplerate": a.samplerate, "Gain": a.gain,
                      "DRC": a.drc, "Name": a.name,
+                     "Compressor": a.compressor, "Gate": a.gate,
                      **({"Quality": a.quality} if a.quality is not None else {})}
                     for a in self.audio],
             },
@@ -255,7 +260,8 @@ class Job:
             bitrate=t.get("Bitrate", 160), quality=t.get("Quality"),
             mixdown=t.get("Mixdown", "stereo"),
             samplerate=t.get("Samplerate", 0), gain=t.get("Gain", 0.0),
-            drc=t.get("DRC", 0.0), name=t.get("Name", ""))
+            drc=t.get("DRC", 0.0), name=t.get("Name", ""),
+            compressor=t.get("Compressor", 0.0), gate=t.get("Gate", 0.0))
             for t in a.get("AudioList", [])]
         s = d.get("Subtitle", {})
         j.subtitle_search = dict(s.get("Search", {}))

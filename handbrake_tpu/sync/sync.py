@@ -50,6 +50,12 @@ class StreamState:
     # no fill possible in the compressed domain)
     sample_rate: Optional[int] = None
     channels: int = 2
+    # video geometry for black-frame gap synthesis (CreateBlackBuf
+    # sync.c:349); None → leave a timeline hole
+    width: Optional[int] = None
+    height: Optional[int] = None
+    frame_duration: Optional[int] = None
+    black_fills: int = 0
 
 
 class SyncCore:
@@ -67,13 +73,18 @@ class SyncCore:
         self.pts_stop = pts_stop
         self.common_start: Optional[int] = None
         self.done = False
+        self.cadence = CadenceTracker()
 
     def add_stream(self, kind: str, sid: int = 0,
                    sample_rate: Optional[int] = None,
-                   channels: int = 2) -> int:
+                   channels: int = 2, width: Optional[int] = None,
+                   height: Optional[int] = None,
+                   frame_duration: Optional[int] = None) -> int:
         self.streams.append(StreamState(kind=kind, id=sid,
                                         sample_rate=sample_rate,
-                                        channels=channels))
+                                        channels=channels, width=width,
+                                        height=height,
+                                        frame_duration=frame_duration))
         return len(self.streams) - 1
 
     # -- input side ----------------------------------------------------------
@@ -175,10 +186,38 @@ class SyncCore:
                 out.append(fill_audio_gap(st.next_pts, delta,
                                           st.sample_rate, st.channels,
                                           sid=st.id))
+            elif (st.kind == "video" and st.width and st.height
+                  and st.frame_duration):
+                # black-frame synthesis (CreateBlackBuf sync.c:349):
+                # whole frames of frame_duration until the gap closes
+                t = st.next_pts
+                while t + st.frame_duration <= buf.pts:
+                    out.append(black_frame(t, st.frame_duration,
+                                           st.width, st.height,
+                                           sid=st.id))
+                    st.black_fills += 1
+                    t += st.frame_duration
+        if st.kind == "video" and buf.duration:
+            self.cadence.push(buf.duration)
         st.next_pts = buf.stop if buf.stop is not None \
             else buf.pts + (buf.duration or 0)
         out.append(buf)
         return out
+
+    # -- p-to-p search progress (UpdateSearchState sync.c:1518) -----------
+    def search_state(self) -> Optional[dict]:
+        """While seeking to pts_start: {"state": "SEARCHING", "progress"}.
+        None once the common start is established (or no start requested).
+        """
+        if self.pts_start is None or self.common_start is not None:
+            return None
+        seen = 0
+        for st in self.streams:
+            if st.last_pts_in is not None:
+                seen = max(seen, st.last_pts_in)
+        return {"state": "SEARCHING",
+                "progress": min(1.0, seen / self.pts_start)
+                if self.pts_start else 1.0}
 
     def poll(self) -> list:
         """Emit everything currently safe to emit, merged by lowest PTS."""
@@ -235,3 +274,65 @@ def fill_audio_gap(st_next_pts: int, gap_ticks: int, sample_rate: int,
     b.planes = [pcm]
     b.stream_id = sid
     return b
+
+
+def black_frame(pts: int, duration: int, width: int, height: int,
+                sid: int = 0) -> Buffer:
+    """Black YUV frame covering a video gap (CreateBlackBuf sync.c:349)."""
+    import numpy as np
+    y = np.full((height, width), 16, np.uint8)
+    u = np.full((height // 2, width // 2), 128, np.uint8)
+    v = np.full((height // 2, width // 2), 128, np.uint8)
+    b = Buffer(track_kind="video", pts=pts, duration=duration)
+    b.stop = pts + duration
+    b.planes = [y, u, v]
+    b.stream_id = sid
+    return b
+
+
+class CadenceTracker:
+    """Frame-duration cadence classifier (checkCadence sync.c:1305).
+
+    Watches video frame durations for the 3:2 telecine pattern (period-2
+    alternation with a 3:2 tick ratio), constant-rate cadence, or broken
+    cadence; counts breaks so VFR/detelecine decisions and diagnostics can
+    react.
+    """
+
+    WINDOW = 12
+
+    def __init__(self):
+        self.durations: list = []
+        self.breaks = 0
+        self._last_kind = "unknown"
+
+    def push(self, duration: int):
+        d = self.durations
+        d.append(int(duration))
+        if len(d) > self.WINDOW:
+            d.pop(0)
+        kind = self.classify()
+        if (kind != self._last_kind
+                and "unknown" not in (kind, self._last_kind)):
+            self.breaks += 1
+        self._last_kind = kind
+
+    def classify(self) -> str:
+        d = self.durations
+        if len(d) < 4:
+            return "unknown"
+        tol = max(2, d[-1] // 50)
+
+        def near(a, b):
+            return abs(a - b) <= tol
+        if all(near(x, d[-1]) for x in d[-4:]):
+            return "constant"
+        # 3:2 alternation: even/odd positions each constant, ratio 3:2
+        a, b = d[-4], d[-3]
+        if (near(d[-2], a) and near(d[-1], b) and a != b
+                and near(2 * max(a, b), 3 * min(a, b))):
+            return "telecine_32"
+        return "broken"
+
+    def info(self) -> dict:
+        return {"cadence": self.classify(), "breaks": self.breaks}

@@ -148,7 +148,11 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
     # ---- sync ----
     pts_start, pts_stop = resolve_range(job, src, vrate)
     sync = SyncCore(pts_start=pts_start, pts_stop=pts_stop)
-    v_sync = sync.add_stream("video")
+    # video geometry lets sync synthesize black frames for gaps
+    # (CreateBlackBuf sync.c:349); frame cadence is tracked per buffer
+    v_sync = sync.add_stream(
+        "video", width=vti.width, height=vti.height,
+        frame_duration=int(90000 / float(vrate)) if vrate else None)
     # PCM geometry lets sync synthesize silence for gaps (CreateSilenceBuf
     # analog); passthrough tracks get no fill (compressed domain)
     a_sync = {}

@@ -172,3 +172,36 @@ def test_chain_resample_pts():
     pkts = chain.process(buf)
     out = np.frombuffer(pkts[0].data, "<i2").reshape(-1, 2)
     assert abs(len(out) - 2400) <= 1
+
+
+def test_chain_dynamics_wired_from_job():
+    """Compressor/Gate reachable from job JSON (acompressor/agate)."""
+    import numpy as np
+    from handbrake_tpu.audio.chain import AudioChain
+    from handbrake_tpu.job.schema import Job
+
+    d = {"Audio": {"AudioList": [
+        {"Track": 1, "Encoder": "pcm_s16le", "Compressor": 3.0,
+         "Gate": -45.0}]}}
+    j = Job.from_json(d)
+    spec = j.audio[0]
+    assert spec.compressor == 3.0 and spec.gate == -45.0
+
+    class TI:
+        sample_rate = 48000
+        channels = 2
+        codec = "pcm_s16le"
+        extradata = b""
+    ch = AudioChain(spec, TI())
+    assert ch.compressor is not None and ch.gate is not None
+    from handbrake_tpu.core.buffer import Buffer
+    t = np.arange(4800) / 48000.0
+    loud = (0.9 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    buf = Buffer(planes=[np.stack([loud, loud], 1)], track_kind="audio")
+    out = ch.process(buf)
+    assert out and out[0].data
+    # compressor reduces peak amplitude of a loud tone
+    pcm = np.frombuffer(out[0].data, "<i2").astype(np.float32) / 32767.0
+    assert 0.05 < np.abs(pcm).max() < 0.9
+    # JSON round-trip preserves the settings
+    assert j.to_json()["Audio"]["AudioList"][0]["Compressor"] == 3.0

@@ -187,3 +187,60 @@ def test_audio_gap_no_fill_for_passthrough():
     out = drain(sc)
     assert len(out) == 4
     assert sc.streams[0].gap_ticks == GAP_THRESHOLD * 4
+
+
+def test_cadence_tracker_telecine():
+    """3:2 pulldown duration pattern is classified (checkCadence)."""
+    from handbrake_tpu.sync.sync import CadenceTracker
+    c = CadenceTracker()
+    for _ in range(6):
+        c.push(3754)        # 3 fields at 29.97
+        c.push(2502)        # 2 fields
+    assert c.classify() == "telecine_32"
+    for _ in range(6):
+        c.push(3003)
+    assert c.classify() == "constant"
+    assert c.breaks >= 1
+
+
+def test_video_gap_black_fill():
+    """Large video gaps are bridged with black frames (CreateBlackBuf)."""
+    import numpy as np
+    from handbrake_tpu.core.buffer import Buffer
+    from handbrake_tpu.sync.sync import SyncCore
+    s = SyncCore()
+    v = s.add_stream("video", width=64, height=48, frame_duration=3000)
+    for i, pts in enumerate([0, 3000, 6000, 18000, 21000]):
+        b = Buffer(track_kind="video", pts=pts, duration=3000)
+        b.stop = pts + 3000
+        b.planes = [np.zeros((48, 64), np.uint8)]
+        s.queue(v, b)
+    s.set_eof(v)
+    out = s.poll()
+    blacks = [b for b in out if b.planes and b.planes[0][0, 0] == 16]
+    assert len(blacks) == 3                  # 9000..18000 gap = 3 frames
+    pts = [b.pts for b in out]
+    assert pts == sorted(pts)
+    assert s.streams[v].black_fills == 3
+
+
+def test_search_state_progress():
+    """SEARCHING state is reported while seeking to pts_start
+    (UpdateSearchState sync.c:1518)."""
+    from handbrake_tpu.core.buffer import Buffer
+    from handbrake_tpu.sync.sync import SyncCore
+    s = SyncCore(pts_start=90000)
+    v = s.add_stream("video")
+    st = s.search_state()
+    assert st and st["state"] == "SEARCHING" and st["progress"] == 0.0
+    b = Buffer(track_kind="video", pts=45000, duration=3000)
+    b.stop = 48000
+    s.queue(v, b)
+    st = s.search_state()
+    assert 0.4 < st["progress"] < 0.6
+    for pts in (90000, 93000, 96000):
+        b = Buffer(track_kind="video", pts=pts, duration=3000)
+        b.stop = pts + 3000
+        s.queue(v, b)
+    s.poll()
+    assert s.search_state() is None          # start established
