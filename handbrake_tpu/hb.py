@@ -43,14 +43,15 @@ class Handle:
 
     # -- scan -----------------------------------------------------------------
     def scan(self, path: str, title_index: int = 0,
-             preview_count: int = 10):
+             preview_count: int = 10, keep_previews: bool = True):
         """hb_scan: spawn the scan thread (scan.c:89)."""
         self.state.set(St.SCANNING, progress=0.0, title_count=0)
 
         def _scan():
             try:
                 self.titles = scanmod.scan(path, title_index,
-                                           preview_count)
+                                           preview_count,
+                                           keep_previews=keep_previews)
             except Exception as e:   # noqa: BLE001 — scan errors → no titles
                 error(f"scan failed: {e}")
                 self.titles = []
@@ -68,6 +69,48 @@ class Handle:
 
     def get_title_set_json(self) -> str:
         return json.dumps(title_set_to_json(self.titles))
+
+    # -- previews -------------------------------------------------------------
+    def get_preview(self, job, preview_idx: int):
+        """hb_get_preview3 (hb.c:1065): render stored scan preview
+        ``preview_idx`` through the job's filter chain → (y, u, v) planes
+        at the job's output geometry."""
+        from fractions import Fraction
+
+        from .core.buffer import Buffer, Geometry
+        from .filters import FilterGraph, FilterInit
+        from .work import PIX_FMTS
+
+        if isinstance(job, str):
+            job = Job.from_json(json.loads(job))
+        elif isinstance(job, dict):
+            job = Job.from_json(job)
+        titles = [t for t in self.titles if t.index == job.title] \
+            or self.titles[:1]
+        if not titles:
+            raise ValueError("no scanned title")
+        t = titles[0]
+        previews = t.metadata.get("__previews__") or []
+        if not previews:
+            raise ValueError("no stored previews (scan with keep_previews)")
+        y, u, v = previews[min(preview_idx, len(previews) - 1)]
+        fi = FilterInit(
+            geometry=Geometry(t.width, t.height, t.par_num, t.par_den),
+            pix_fmt=PIX_FMTS.get("yuv420p"),
+            vrate=Fraction(t.vrate_num, t.vrate_den))
+        filter_list = [{"ID": f.id, "Settings": f.settings}
+                       for f in job.filters]
+        graph = FilterGraph(filter_list, fi)
+        dur = 90000 * t.vrate_den // max(1, t.vrate_num)
+        buf = Buffer(planes=[y.copy(), u.copy(), v.copy()],
+                     track_kind="video", pts=0, duration=dur)
+        buf.stop = dur
+        outs = graph.work(buf)
+        outs += graph.flush()
+        graph.close()
+        if not outs:
+            raise ValueError("filter chain produced no preview frame")
+        return tuple(outs[0].planes)
 
     # -- queue ----------------------------------------------------------------
     def add(self, job: Job):

@@ -106,7 +106,8 @@ class Title:
             "AudioList": [a.to_json() for a in self.audio],
             "SubtitleList": [st.to_json() for st in self.subtitles],
             "ChapterList": [c.to_json() for c in self.chapters],
-            "MetaData": dict(self.metadata),
+            "MetaData": {k: v for k, v in self.metadata.items()
+                         if not k.startswith("__")},
         }
 
 

@@ -185,14 +185,15 @@ def _decode_previews(src, video_track: int, preview_count: int) -> list:
 
 
 def scan(path: str, title_index: int = 0,
-         preview_count: int = 10) -> List[Title]:
+         preview_count: int = 10, keep_previews: bool = False) -> List[Title]:
     """hb_scan analog: path (file or directory) → list of Titles."""
     paths = scan_paths(path)
     titles = []
     for i, p in enumerate(paths):
         if title_index and i + 1 != title_index and len(paths) > 1:
             continue
-        t = scan_title(p, index=i + 1, preview_count=preview_count)
+        t = scan_title(p, index=i + 1, preview_count=preview_count,
+                       keep_previews=keep_previews)
         if t is not None:
             titles.append(t)
     return titles

@@ -116,3 +116,79 @@ def test_colormap_and_lang():
     assert lang.to_iso639_2("en") == "eng"
     assert lang.to_iso639_2("French") == "fre"
     assert lang.lookup("jpn")[0] == "Japanese"
+
+
+def test_anamorphic_size2_modes():
+    """hb_set_anamorphic_size2 math (hb.c:1231)."""
+    from fractions import Fraction
+    from handbrake_tpu.job.geometry import (ANAMORPHIC_CUSTOM,
+                                            ANAMORPHIC_LOOSE,
+                                            ANAMORPHIC_NONE,
+                                            ANAMORPHIC_STRICT,
+                                            GeometrySettings,
+                                            set_anamorphic_size2)
+
+    # strict: storage = cropped source, PAR preserved (DVD 720x480 16:9)
+    par = Fraction(32, 27)
+    w, h, p, dw = set_anamorphic_size2(
+        720, 480, par, GeometrySettings(mode=ANAMORPHIC_STRICT,
+                                        crop=(2, 2, 0, 0)))
+    assert (w, h, p) == (720, 476, par)
+
+    # none: square pixels, display aspect kept
+    w, h, p, dw = set_anamorphic_size2(
+        720, 480, par, GeometrySettings(mode=ANAMORPHIC_NONE, width=640,
+                                        modulus=2))
+    assert p == 1 and w == 640
+    dar = Fraction(720, 480) * par
+    assert abs(h - 640 / float(dar)) <= 2 and h % 2 == 0
+
+    # loose: mod-16 storage, PAR rescaled so DAR is exact
+    w, h, p, dw = set_anamorphic_size2(
+        720, 480, par, GeometrySettings(mode=ANAMORPHIC_LOOSE, width=700,
+                                        modulus=16))
+    assert w % 16 == 0 and h % 16 == 0
+    assert Fraction(w, h) * p == dar
+
+    # max clamps apply
+    w, h, p, _ = set_anamorphic_size2(
+        1920, 1080, Fraction(1), GeometrySettings(
+            mode=ANAMORPHIC_NONE, width=1920, max_width=1280, modulus=2))
+    assert w == 1280 and h == 720
+
+    # custom PAR passes through
+    w, h, p, _ = set_anamorphic_size2(
+        720, 480, par, GeometrySettings(mode=ANAMORPHIC_CUSTOM, width=704,
+                                        height=480, par_num=40,
+                                        par_den=33))
+    assert p == Fraction(40, 33) and (w, h) == (704, 480)
+
+
+def test_get_preview_runs_filter_chain(tmp_path):
+    """hb_get_preview3 analog renders a stored preview through the job's
+    filters at output geometry (hb.c:1065)."""
+    import numpy as np
+    from handbrake_tpu import hb as hbmod
+    from handbrake_tpu.job import schema as S
+
+    W, H, N = 96, 64, 4
+    p = tmp_path / "in.y4m"
+    with open(p, "wb") as f:
+        f.write(f"YUV4MPEG2 W{W} H{H} F25:1 Ip A1:1 C420\n".encode())
+        for i in range(N):
+            f.write(b"FRAME\n")
+            f.write(np.full((H, W), 60 + i, np.uint8).tobytes())
+            f.write(np.full((H // 2, W // 2), 128, np.uint8).tobytes())
+            f.write(np.full((H // 2, W // 2), 128, np.uint8).tobytes())
+    h = hbmod.Handle()
+    h.scan(str(p))
+    titles = h.scan_wait(30)
+    assert titles
+    job = S.Job(title=1)
+    job.filters.append(S.FilterSpec(S.FILTER_CROP_SCALE, {
+        "width": 48, "height": 32, "crop-top": 0, "crop-bottom": 0,
+        "crop-left": 0, "crop-right": 0}))
+    y, u, v = h.get_preview(job, 0)
+    assert y.shape == (32, 48)
+    assert u.shape == (16, 24)
+    h.close()
