@@ -104,6 +104,7 @@ class Handle:
         dur = 90000 * t.vrate_den // max(1, t.vrate_num)
         buf = Buffer(planes=[y.copy(), u.copy(), v.copy()],
                      track_kind="video", pts=0, duration=dur)
+        buf.pix_fmt = fi.pix_fmt
         buf.stop = dur
         outs = graph.work(buf)
         outs += graph.flush()
