@@ -100,3 +100,57 @@ def build_multichip_step(mesh: Mesh, mb_w: int, mb_h: int):
         return out
 
     return step
+
+
+def _halo_pad(x, halo: int, n_tiles: int):
+    """Attach `halo` rows from the neighbouring tile shards (ppermute over
+    the "tile" axis); the outer frame edges replicate, matching the
+    clip/edge-pad semantics of the host filters (comb_detect.c:37-43
+    segment overlap analog).  x: (..., H_loc, W)."""
+    def rep(row, n):
+        return jnp.concatenate([row] * n, axis=-2)
+    top_edge = rep(x[..., :1, :], halo)
+    bot_edge = rep(x[..., -1:, :], halo)
+    if n_tiles == 1:
+        top, bot = top_edge, bot_edge
+    else:
+        idx = jax.lax.axis_index("tile")
+        fwd = [(i, (i + 1) % n_tiles) for i in range(n_tiles)]
+        bwd = [(i, (i - 1) % n_tiles) for i in range(n_tiles)]
+        from_above = jax.lax.ppermute(x[..., -halo:, :], "tile", fwd)
+        from_below = jax.lax.ppermute(x[..., :halo, :], "tile", bwd)
+        top = jnp.where(idx == 0, top_edge, from_above)
+        bot = jnp.where(idx == n_tiles - 1, bot_edge, from_below)
+    return jnp.concatenate([top, x, bot], axis=-2)
+
+
+def tile_shard_nlmeans(mesh: Mesh, *, strength=6.0, origin_tune=0.9,
+                       patch=7, rng=3, maxval=255):
+    """The PRODUCTION NLMeans kernel (filters/nlmeans.py nlmeans_plane)
+    tile-sharded across the mesh's "tile" axis with halo exchange.
+
+    Bit-identical to the unsharded filter: the halo (rng + patch) covers
+    the kernel's full spatial reach, and outer-edge replication reproduces
+    its clip-based boundary handling.  cur: (H, W), refs: (T, H, W) —
+    H must divide by mesh.shape["tile"].
+    """
+    from ..filters.nlmeans import nlmeans_plane
+
+    n_tiles = mesh.shape["tile"]
+    halo = rng + patch
+
+    def local(cur, refs):
+        # each shard must own at least `halo` rows to source its
+        # neighbour's exchange (ppermute moves one hop)
+        assert cur.shape[0] >= halo, (cur.shape, halo)
+        cur_p = _halo_pad(cur, halo, n_tiles)
+        refs_p = _halo_pad(refs, halo, n_tiles)
+        out = nlmeans_plane(cur_p, refs_p, strength=strength,
+                            origin_tune=origin_tune, patch=patch,
+                            rng=rng, maxval=maxval)
+        return out[halo:-halo]
+
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P("tile", None),
+                                       P(None, "tile", None)),
+                             out_specs=P("tile", None)))

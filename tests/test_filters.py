@@ -510,3 +510,29 @@ def test_rpu_active_area_rescale(rng):
     buf.side_data["dovi_rpu"] = {"active_area": (16, 16, 8, 8)}
     out = f.work(buf)[0]
     assert out.side_data["dovi_rpu"]["active_area"] == (8, 8, 4, 4)
+
+
+def test_nlmeans_tile_sharded_bit_identical():
+    """Production NLMeans under shard_map with ppermute halos equals the
+    unsharded kernel exactly (taskset.c:17 segment overlap analog)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from handbrake_tpu.filters.nlmeans import nlmeans_plane
+    from handbrake_tpu.parallel.mesh import make_mesh, tile_shard_nlmeans
+
+    n = min(8, len(jax.devices()))
+    mesh = make_mesh(n, tile=n)          # all devices on the tile axis
+    rng = np.random.default_rng(0)
+    H, W = 160, 48
+    cur = rng.integers(0, 256, (H, W), np.uint8)
+    prev = rng.integers(0, 256, (H, W), np.uint8)
+    refs = np.stack([cur, prev])
+    for patch, srange in ((7, 3), (3, 1), (5, 2)):
+        ref_out = np.asarray(nlmeans_plane(
+            jnp.asarray(cur), jnp.asarray(refs), strength=6.0,
+            origin_tune=0.9, patch=patch, rng=srange, maxval=255))
+        fn = tile_shard_nlmeans(mesh, strength=6.0, origin_tune=0.9,
+                                patch=patch, rng=srange, maxval=255)
+        got = np.asarray(fn(jnp.asarray(cur), jnp.asarray(refs)))
+        assert np.array_equal(got, ref_out), (patch, srange)
