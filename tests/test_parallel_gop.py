@@ -90,3 +90,57 @@ def test_rc_stats_exchange():
     alloc = exchange_rc_stats(mesh, np.array([1.0, 2.0, 3.0, 2.0]), 8000.0)
     np.testing.assert_allclose(alloc, [1000.0, 2000.0, 3000.0, 2000.0],
                                rtol=1e-5)
+
+
+def test_two_pass_hits_target_bitrate():
+    """Two-pass GOP-parallel encode lands within ±5% of the bitrate
+    target (hb_interjob_t stats handoff + psum allocation)."""
+    import numpy as np
+    from handbrake_tpu.parallel.gop import encode_gop_parallel_2pass
+    from handbrake_tpu.parallel.mesh import make_mesh
+    from handbrake_tpu.codecs.h264.decoder import H264Decoder
+
+    mesh = make_mesh(4, tile=1)
+    W, H, N = 64, 48, 16
+    rng = np.random.default_rng(3)
+    base = (np.add.outer(np.arange(H), np.arange(W)) * 5 % 256).astype(
+        np.uint8)
+    noise = rng.integers(0, 24, (H, W), np.uint8)
+    frames = [(np.clip(base.astype(np.int32)
+                       + np.roll(noise, i, 1), 0, 255).astype(np.uint8),
+               np.full((H // 2, W // 2), 100 + i, np.uint8),
+               np.full((H // 2, W // 2), 140, np.uint8))
+              for i in range(N)]
+    target = 260.0
+    streams, full, stats = encode_gop_parallel_2pass(
+        frames, W, H, target, mesh, fps=(30, 1))
+    assert abs(stats["actual_kbps"] - target) <= 0.05 * target, stats
+    # still decodable and frame-complete
+    dec = H264Decoder().decode(full)
+    assert len(dec) == N
+
+
+def test_per_gop_qp_varies_without_recompile():
+    """Traced per-gop qp: different gops encode at different qps in one
+    sharded call, bit-identical to serial per-chunk encoding."""
+    import numpy as np
+    from handbrake_tpu.codecs.h264.encoder import EncoderConfig, H264Encoder
+    from handbrake_tpu.parallel.gop import encode_gop_parallel, split_gops
+    from handbrake_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(2, tile=1)
+    W, H, N = 64, 48, 6
+    rng = np.random.default_rng(5)
+    frames = [(rng.integers(0, 256, (H, W), np.uint8),
+               np.full((H // 2, W // 2), 90, np.uint8),
+               np.full((H // 2, W // 2), 150, np.uint8))
+              for _ in range(N)]
+    qps = [26, 34]
+    streams, _ = encode_gop_parallel(frames, W, H, qps, mesh, fps=(30, 1))
+    for g, (s, ln) in enumerate(split_gops(N, 2)):
+        enc = H264Encoder(EncoderConfig(width=W, height=H, qp=qps[g],
+                                        gop=ln, fps=(30, 1),
+                                        backend="device"))
+        want = b"".join(enc.encode_frame(*frames[s + i], qp=qps[g])
+                        for i in range(ln))
+        assert streams[g] == want, f"gop {g} differs"
