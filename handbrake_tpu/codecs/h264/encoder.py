@@ -353,7 +353,10 @@ class H264Encoder:
         self.recon_y = None
         self.recon_u = None
         self.recon_v = None
-        self.lm = cfg.lm if cfg.lm is not None else 0.85 * 2 ** ((cfg.qp - 12) / 3.0)
+        # SAD-domain lambda (sqrt of the JM SSD lambda): costs here are
+        # SAD + lm*bits, so the SSD-domain 2^((qp-12)/3) over-penalizes
+        # bits at coarse qp and floods P frames with intra MBs
+        self.lm = cfg.lm if cfg.lm is not None else 0.85 * 2 ** ((cfg.qp - 12) / 6.0)
         import collections
         self._queue = collections.deque()   # in-flight begin_frame order
         self._nch_guess = 8                 # payload chunks likely needed
@@ -388,7 +391,7 @@ class H264Encoder:
         self.last_frame_was_idr = idr
         qp = self.cfg.qp if qp is None else int(qp)
         self.lm = self.cfg.lm if self.cfg.lm is not None \
-            else 0.85 * 2 ** ((qp - 12) / 3.0)
+            else 0.85 * 2 ** ((qp - 12) / 6.0)
         out = b""
         if idr:
             out += self.headers()
@@ -560,7 +563,7 @@ class H264Encoder:
                         hdr_bw) -> bytes:
         import ctypes
         import jax
-        from .encoder_tpu import INTRA_THRESH
+        from .encoder_tpu import intra_thresh_for_qp
         sy = np.ascontiguousarray(y, np.uint8)
         su = np.ascontiguousarray(u, np.uint8)
         sv = np.ascontiguousarray(v, np.uint8)
@@ -592,7 +595,7 @@ class H264Encoder:
         uac, vac = arr("uac", np.int16), arr("vac", np.int16)
         unnz, vnnz = arr("unnz", np.int8), arr("vnnz", np.int8)
         n = self._natlib.hb264_encode_p_slice(
-            self.mb_w, self.mb_h, qp, qpc, INTRA_THRESH,
+            self.mb_w, self.mb_h, qp, qpc, intra_thresh_for_qp(qp),
             int(self.cfg.cabac),
             self._u8p(hdr), hdr.size, hdr_bw._cur, hdr_bw._nbits,
             self._u8p(sy), self._u8p(su), self._u8p(sv),
@@ -908,8 +911,8 @@ class H264Encoder:
         new_u = np.zeros_like(u)
         new_v = np.zeros_like(v)
         # intra fallback when inter SAD is poor (device gives the SAD)
-        from .encoder_tpu import INTRA_THRESH
-        intra_thresh = float(INTRA_THRESH)
+        from .encoder_tpu import intra_thresh_for_qp
+        intra_thresh = float(intra_thresh_for_qp(qp))
 
         skip_run = 0
         for mby in range(self.mb_h):

@@ -36,7 +36,23 @@ REFINE_R = 3      # full-pel refine radius
 WIN = 32          # luma window size (16 + 2*8 margin)
 CWIN = 16         # chroma window size (8 + 1 bilinear + 5 offset range + pad)
 MV_CLAMP = 22     # |full-pel mv| bound; keeps every access inside the pads
-INTRA_THRESH = 20 * 256   # inter SAD above which the host tries intra
+INTRA_THRESH = 20 * 256   # base inter-SAD intra trigger (per-MB, qp≈28)
+
+
+def intra_thresh_for_qp(qp) -> "int | jnp.ndarray":
+    """qp-scaled intra-fallback threshold.
+
+    The SAD of a well-predicted block grows with the quantizer step (the
+    reconstruction it predicts from is coarser), so a fixed threshold
+    floods coarse-qp P frames with expensive intra MBs (the RD.json qp-40
+    rate blow-up). Scale with qstep = 0.625 * 2^(qp/6), anchored so
+    qp≈28 keeps the original 20/px trigger."""
+    if isinstance(qp, (int, float)):
+        import math
+        qstep = 0.625 * (2.0 ** (qp / 6.0))
+        return int(256 * max(20.0, 1.25 * qstep))
+    qstep = 0.625 * jnp.exp2(qp.astype(jnp.float32) / 6.0)
+    return (256.0 * jnp.maximum(20.0, 1.25 * qstep)).astype(jnp.int32)
 PAYLOAD_CHUNKS = 8        # compact-payload buckets fetched on demand
 
 
@@ -457,7 +473,7 @@ def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None):
         # round trip costs ~20 ms over the axon tunnel, so everything the
         # entropy walker needs travels as ONE byte array (layout parsed by
         # encoder._parse_packed; sizes are static per build)
-        n_intra = (sad_best > INTRA_THRESH).sum().astype(jnp.int32)
+        n_intra = (sad_best > intra_thresh_for_qp(qp)).sum().astype(jnp.int32)
         mv16 = jnp.stack([mvx, mvy], 1).astype(jnp.int16)
 
         def _bytes(x):

@@ -14,7 +14,8 @@ import os
 
 import numpy as np
 
-_AV_CODEC_IDS = {"h264": 27, "hevc": 173, "mpeg2": 2, "av1": 226}
+_AV_CODEC_IDS = {"h264": 27, "hevc": 173, "mpeg2": 2, "av1": 226,
+                 "vp9": 167, "mpeg4": 12}
 
 
 def _libs():
@@ -209,3 +210,23 @@ def decode_yuv(stream: bytes, codec: str = "h264", bits: int = 8) -> list:
 
 def available() -> bool:
     return _avcodec is not None
+
+
+def decode_yuv_packets(packets, codec: str, bits: int = 8) -> list:
+    """Decode a list of pre-framed packets (e.g. VP9/AV1 OBU frames)."""
+    d = FFDecoder(codec, bits=bits)
+    out = []
+    for p in packets:
+        d._send(p)
+        while True:
+            f = d._recv()
+            if f is None:
+                break
+            out.append(f)
+    d._send(None)
+    while True:
+        f = d._recv()
+        if f is None:
+            break
+        out.append(f)
+    return out

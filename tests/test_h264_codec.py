@@ -114,11 +114,13 @@ def test_quality_sane():
 
 
 def test_bitrate_monotonic_in_qp():
-    sizes = {}
-    for qp in (16, 28, 40):
+    # covers the coarse-qp regime where a fixed intra threshold + the
+    # SSD-domain lambda once inverted the rate curve (RD.json qp-40 bug)
+    sizes = []
+    for qp in (16, 22, 28, 34, 40, 46):
         stream, _ = encode_clip(48, 32, 4, qp=qp)
-        sizes[qp] = len(stream)
-    assert sizes[16] > sizes[28] > sizes[40], sizes
+        sizes.append(len(stream))
+    assert all(a > b for a, b in zip(sizes, sizes[1:])), sizes
 
 
 def encode_clip_deblock(W, H, n, qp=28, gop=4, seed=0, motion=4):
@@ -256,7 +258,13 @@ def test_cabac_beats_cavlc_bitrate():
     """CABAC should compress textured content better than CAVLC (the
     ~10-15% bitrate win that motivated encx264's default)."""
     W, H = 96, 64
-    cavlc, _ = encode_clip(W, H, 8, qp=30, gop=8)
+    # same (device) backend for both so the entropy stage is the only
+    # difference — the host walker's mode decisions diverge
+    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=30, gop=8,
+                                    search_range=12, backend="device"))
+    cavlc = b""
+    for y, u, v in synth_clip(W, H, 8):
+        cavlc += enc.encode_frame(y, u, v)
     cab, _ = encode_clip_cabac(W, H, 8, qp=30, gop=8)
     assert len(cab) < len(cavlc), (len(cab), len(cavlc))
 

@@ -73,6 +73,64 @@ def run_av1(frames, w, h, qp, fps):
 RUNNERS = {"h264": run_h264, "hevc": run_hevc, "av1": run_av1}
 
 
+def measure_anchors(frames, w, h, fps=30.0):
+    """Independent-encoder anchor curves via the bundled libavcodec
+    (tests/ffvideo.py).  No x264/x265 build ships in this environment, so
+    the anchors are libvpx-vp9 (CRF sweep — a stronger-than-x264-medium
+    reference) and mpeg4 (bitrate sweep — a weaker classical reference);
+    PSNR-delta-at-equal-bitrate against these brackets our codecs from
+    both sides."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tests"))
+    import ffdec
+    import ffvideo
+    if not ffvideo.available():
+        return {}
+    anchors = {}
+
+    def rate_points(name, make_packets, dec_codec, params):
+        rows = []
+        for prm in params:
+            t0 = time.perf_counter()
+            pkts = make_packets(prm)
+            wall = time.perf_counter() - t0
+            dec = ffdec.decode_yuv_packets(pkts, dec_codec)
+            n = min(len(dec), len(frames))
+            if n == 0:
+                continue
+            py = np.mean([psnr(frames[i][0][:h, :w],
+                               np.asarray(dec[i][0])[:h, :w])
+                          for i in range(n)])
+            size = sum(len(p) for p in pkts)
+            rows.append({"param": prm,
+                         "kbps": round(size * 8 * fps / len(frames) / 1e3,
+                                       1),
+                         "psnr_y": round(float(py), 3),
+                         "enc_dec_s": round(wall, 2)})
+        anchors[name] = rows
+
+    def vp9(crf):
+        enc = ffvideo.FFVideoEncoder(
+            "libvpx-vp9", w, h, int(fps), bit_rate=0,
+            opts={"crf": crf, "deadline": "good", "cpu-used": 2})
+        return enc.encode(frames)
+
+    def mpeg4(kbps):
+        enc = ffvideo.FFVideoEncoder("mpeg4", w, h, int(fps),
+                                     bit_rate=kbps * 1000)
+        return enc.encode(frames)
+
+    try:
+        rate_points("vp9_crf", vp9, "vp9", [20, 28, 36, 44, 52])
+    except Exception as e:  # noqa: BLE001 — anchor best-effort
+        print("vp9 anchor failed:", e)
+    try:
+        rate_points("mpeg4_abr", mpeg4, "mpeg4", [500, 250, 120, 60])
+    except Exception as e:  # noqa: BLE001
+        print("mpeg4 anchor failed:", e)
+    return anchors
+
+
 def measure(codec, frames, w, h, qps, fps=30.0):
     rows = []
     for qp in qps:
@@ -114,6 +172,26 @@ def main():
     for codec in args.codecs.split(","):
         report["codecs"][codec] = measure(codec, frames, w, h, qps)
         print(codec, json.dumps(report["codecs"][codec]), flush=True)
+    report["anchors"] = measure_anchors(frames, w, h)
+    print("anchors", json.dumps(report["anchors"]), flush=True)
+    # PSNR delta at equal bitrate vs the vp9 anchor (log-rate interp)
+    vp9 = report["anchors"].get("vp9_crf") or []
+    if len(vp9) >= 2:
+        xs = np.log([r["kbps"] for r in vp9])[::-1]
+        ys = np.asarray([r["psnr_y"] for r in vp9])[::-1]
+        deltas = {}
+        for codec, rows in report["codecs"].items():
+            ds = []
+            for r in rows:
+                if not (min(xs) <= np.log(r["kbps"]) <= max(xs)):
+                    continue
+                anchor_psnr = float(np.interp(np.log(r["kbps"]), xs, ys))
+                ds.append({"kbps": r["kbps"],
+                           "delta_db_vs_vp9": round(r["psnr_y"]
+                                                    - anchor_psnr, 2)})
+            deltas[codec] = ds
+        report["psnr_delta_vs_vp9"] = deltas
+        print("deltas", json.dumps(deltas), flush=True)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print("wrote", args.out)
