@@ -59,6 +59,7 @@ def main():
     frames = make_clip(W, H, n_warm + n_meas + 1)
     enc = H264Encoder(EncoderConfig(width=W, height=H, qp=26, gop=600,
                                     backend="device"))
+    import jax
 
     t_compile0 = time.perf_counter()
     # serial loop: on the axon tunnel device compute and transfers
@@ -66,14 +67,53 @@ def main():
     # latency; on a directly-attached TPU use the begin/finish API instead
     total_bytes = 0
     t0 = None
+    t_begin = t_dev = t_entropy = 0.0
     for i, f in enumerate(frames):
-        out = enc.encode_frame(*f)
+        meas = i >= n_warm
+        ta = time.perf_counter()
+        p = enc.begin_frame(*f)
+        tb = time.perf_counter()
+        if p.kind == "p":
+            jax.block_until_ready(p.dev["packed_small"])
+        tc = time.perf_counter()
+        out = enc.finish_frame(p)
+        td = time.perf_counter()
+        if meas:
+            t_begin += tb - ta       # host pack + upload + dispatch
+            t_dev += tc - tb         # device analysis + small payload copy
+            t_entropy += td - tc     # payload fetch + native entropy + NAL
         total_bytes += len(out)
         if i == n_warm - 1:
             compile_s = time.perf_counter() - t_compile0
             t0 = time.perf_counter()
-    dt = (time.perf_counter() - t0) / (n_meas + 1)
+    n_run = len(frames) - n_warm
+    dt = (time.perf_counter() - t0) / n_run
     fps = 1.0 / dt
+
+    # upload-bound ceiling: raw host→device bandwidth on this link for one
+    # frame's packed planes (3.1 MB at 1080p)
+    pk = np.concatenate([np.ascontiguousarray(x).ravel()
+                         for x in frames[0]])
+    jax.block_until_ready(jax.device_put(pk))
+    tu0 = time.perf_counter()
+    for _ in range(4):
+        jax.block_until_ready(jax.device_put(pk))
+    upload_ms = (time.perf_counter() - tu0) / 4 * 1000
+
+    # device-only ceiling: the analyzer chained on device, no host fetch
+    devfps = None
+    if enc._analyzer is not None:
+        ry, ru, rv = enc.recon_y, enc.recon_u, enc.recon_v
+        pk_dev = jax.device_put(pk)
+        dev = enc._analyzer(pk_dev, ry, ru, rv, 26, 26)
+        jax.block_until_ready(dev["packed_small"])
+        tb0 = time.perf_counter()
+        reps = 8
+        for _ in range(reps):
+            dev = enc._analyzer(pk_dev, dev["recon_y"], dev["urec"],
+                                dev["vrec"], 26, 26)
+        jax.block_until_ready(dev["packed_small"])
+        devfps = reps / (time.perf_counter() - tb0)
 
     print(json.dumps({
         "metric": "h264_1080p_encode_fps_e2e_per_chip",
@@ -81,8 +121,15 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "ms_per_frame": round(dt * 1000, 1),
+        "breakdown_ms": {
+            "upload_dispatch": round(t_begin / n_run * 1000, 1),
+            "device_wait": round(t_dev / n_run * 1000, 1),
+            "fetch_entropy": round(t_entropy / n_run * 1000, 1),
+        },
+        "upload_only_ms_per_frame": round(upload_ms, 1),
+        "device_only_fps": round(devfps, 2) if devfps else None,
         "warmup_incl_compile_s": round(compile_s, 1),
-        "kbit_per_frame": round(total_bytes * 8 / (n_warm + n_meas + 2) / 1000, 1),
+        "kbit_per_frame": round(total_bytes * 8 / len(frames) / 1000, 1),
     }))
 
 
