@@ -33,10 +33,16 @@ def open_source(path: str):
     if head.startswith(b"RIFF") and head[8:12] == b"AVI ":
         from .avi import AVIDemuxer
         return AVIDemuxer(path)
+    if head.startswith(b"\x00\x00\x01\xba"):
+        from .ps import PSDemuxer
+        return PSDemuxer(path)
     ext = os.path.splitext(path)[1].lower()
     if ext in (".ts", ".m2ts", ".mts"):
         from .ts import TSDemuxer
         return TSDemuxer(path)
+    if ext in (".mpg", ".mpeg", ".vob", ".ps"):
+        from .ps import PSDemuxer
+        return PSDemuxer(path)
     if head and head[0] == 0x47:
         from .ts import TSDemuxer, probe_is_ts
         if probe_is_ts(path):

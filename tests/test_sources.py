@@ -171,3 +171,101 @@ def test_detect_comb():
     combed = prog.copy()
     combed[::2] += 60          # alternate-line offset = classic combing
     assert hbscan.detect_comb(combed)
+
+
+# ---------------------------------------------------------------------------
+# MPEG program stream (PS / VOB)
+# ---------------------------------------------------------------------------
+def _write_ps(path, video_es, audio_frames=None):
+    """Minimal MPEG-2 program stream: pack headers + PES packets wrapping
+    an H.264 ES (video E0) and optional private-1 AC-3 substream."""
+    def pack_header():
+        # MPEG-2 pack: '01' + SCR 0 + mux rate, no stuffing
+        b = bytearray(14)
+        b[0:4] = b"\x00\x00\x01\xba"
+        b[4] = 0x44            # '01' + scr bits + marker
+        b[5] = 0x00
+        b[6] = 0x04
+        b[7] = 0x00
+        b[8] = 0x04
+        b[9] = 0x01
+        b[10] = 0x00
+        b[11] = 0x00
+        b[12] = 0x03           # mux rate low + markers
+        b[13] = 0xF8           # reserved + stuffing len 0
+        return bytes(b)
+
+    def pes(sid, payload, pts=None, sub=None):
+        hdr_ext = b""
+        flags = 0
+        if pts is not None:
+            flags = 0x80
+            v = pts & ((1 << 33) - 1)
+            hdr_ext = bytes([
+                0x20 | (((v >> 30) & 7) << 1) | 1,
+                (v >> 22) & 0xFF,
+                (((v >> 15) & 0x7F) << 1) | 1,
+                (v >> 7) & 0xFF,
+                ((v & 0x7F) << 1) | 1])
+        if sub is not None:
+            payload = bytes([sub, 0, 0, 0]) + payload   # AC-3 preamble
+        body = bytes([0x80, flags, len(hdr_ext)]) + hdr_ext + payload
+        return b"\x00\x00\x01" + bytes([sid]) \
+            + len(body).to_bytes(2, "big") + body
+
+    out = b""
+    chunk = 1800
+    t = 0
+    for off in range(0, len(video_es), chunk):
+        out += pack_header()
+        out += pes(0xE0, video_es[off:off + chunk],
+                   pts=t if off % (chunk * 2) == 0 else None)
+        t += 3003
+    for i, af in enumerate(audio_frames or []):
+        out += pack_header()
+        out += pes(0xBD, af, pts=i * 2880, sub=0x80)
+    out += b"\x00\x00\x01\xb9"
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+def test_ps_demux_roundtrip(tmp_path):
+    """PS-wrapped H.264 ES demuxes back byte-identical with PTS and the
+    AC-3 private-1 substream split out (demuxmpeg.c PS path)."""
+    import numpy as np
+    from handbrake_tpu.codecs.h264.encoder import EncoderConfig, H264Encoder
+    from handbrake_tpu.sources.probe import open_source
+
+    W, H = 64, 48
+    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=30, gop=4,
+                                    backend="host"))
+    rng = np.random.default_rng(0)
+    es = b"".join(enc.encode_frame(
+        rng.integers(0, 255, (H, W), np.uint8),
+        np.full((H // 2, W // 2), 100, np.uint8),
+        np.full((H // 2, W // 2), 150, np.uint8)) for _ in range(4))
+    ac3 = [bytes([0x0B, 0x77, i]) + bytes(61) for i in range(3)]
+    p = tmp_path / "t.vob"
+    _write_ps(str(p), es, ac3)
+
+    src = open_source(str(p))
+    assert type(src).__name__ == "PSDemuxer"
+    kinds = [(t.kind, t.codec) for t in src.tracks]
+    assert ("video", "h264") in kinds and ("audio", "ac3") in kinds
+    vtrk = kinds.index(("video", "h264"))
+    atrk = kinds.index(("audio", "ac3"))
+    ves = b""
+    apkts = []
+    for trk, b in src.packets():
+        if trk == vtrk:
+            ves += b.data
+        elif trk == atrk:
+            apkts.append(b.data)
+    assert ves == es
+    assert apkts == ac3
+    assert src.tracks[vtrk].width == W
+    assert src.duration > 0
+    # the universal decoder consumes the demuxed ES
+    from handbrake_tpu.codecs.h264.native_decoder import NativeH264Decoder
+    assert len(NativeH264Decoder().decode(ves)) == 4
+    src.close()
