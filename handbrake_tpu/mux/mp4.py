@@ -46,6 +46,9 @@ class Track:
     sample_rate: int = 48000
     channels: int = 2
     extradata: bytes = b""         # avcC / esds payload / etc.
+    mastering: bytes = b""         # mdcv payload (HDR static metadata)
+    cll: bytes = b""               # clli payload
+    color: dict = field(default_factory=dict)      # colr nclx
     language: str = "und"
     samples: list = field(default_factory=list)
     first_pts: int = 0
@@ -295,6 +298,14 @@ class MP4Writer:
             cfg = {"h264": b"avcC", "hevc": b"hvcC", "av1": b"av1C"}
             if t.extradata:
                 body += box(cfg[t.codec], t.extradata)
+            # HDR metadata boxes (muxavformat.c track setup analog)
+            if t.color:
+                from ..codecs.hdr import colr_payload
+                body += box(b"colr", colr_payload(t.color))
+            if t.mastering:
+                body += box(b"mdcv", t.mastering[:24])
+            if t.cll:
+                body += box(b"clli", t.cll[:4])
             return box(fourcc, body)
         if t.kind == "audio":
             body = (b"\x00" * 6 + struct.pack(">H", 1)

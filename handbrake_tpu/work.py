@@ -240,7 +240,7 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
     reader = _ReaderStage(it, die, pause)
     reader.fifo_out = fifo_raw
     decsync = _DecodeSyncStage(video_track, vdec, adecs, sync, v_sync,
-                               a_sync, stats)
+                               a_sync, stats, vcodec=vti.codec)
     decsync.fifo_in, decsync.fifo_out = fifo_raw, fifo_sync
     encst = _EncodeStage(graph, venc, aencs, rc, stats, progress,
                          sub_specs, (out_w, out_h))
@@ -300,7 +300,7 @@ class _DecodeSyncStage(WorkObject):
     name = "decode+sync"
 
     def __init__(self, video_track, vdec, adecs, sync, v_sync, a_sync,
-                 stats):
+                 stats, vcodec=""):
         super().__init__()
         self.video_track = video_track
         self.vdec = vdec
@@ -309,6 +309,8 @@ class _DecodeSyncStage(WorkObject):
         self.v_sync = v_sync
         self.a_sync = a_sync
         self.stats = stats
+        self.vcodec = vcodec
+        self._hdr: dict = {}       # static + pending per-frame metadata
 
     def work(self, buf):
         if buf.is_eof():
@@ -319,8 +321,21 @@ class _DecodeSyncStage(WorkObject):
             return out + [buf]
         trk = buf.stream_id
         if trk == self.video_track:
+            if buf.planes is None and buf.data \
+                    and self.vcodec in ("h264", "hevc"):
+                # HDR metadata rides SEI/RPU NALs in the source ES
+                # (hdr10plus.c:133, rpu.c:245 roles)
+                from .codecs.hdr import extract_hdr_side_data
+                sd = extract_hdr_side_data(buf.data, self.vcodec)
+                if sd:
+                    self._hdr.update(sd)
             frames = [buf] if buf.planes is not None else self.vdec.feed(buf)
             for f in frames:
+                if self._hdr:
+                    f.side_data.update(self._hdr)
+                    # per-frame payloads attach once; statics persist
+                    self._hdr.pop("hdr10plus_t35", None)
+                    self._hdr.pop("dovi_rpu", None)
                 self.sync.queue(self.v_sync, f)
                 self.stats["frames_in"] += 1
         elif trk in self.adecs:
@@ -363,6 +378,22 @@ class _EncodeStage(WorkObject):
         return y, u, v
 
     def _emit_video(self, au, fb, is_idr, qp):
+        sd = fb.side_data or {}
+        if sd and ("HEVC" in type(self.venc).__name__
+                   or "H264" in type(self.venc).__name__):
+            codec = "hevc" if "HEVC" in type(self.venc).__name__ \
+                else "h264"
+            from .codecs.hdr import hdr_nals
+            emit = {}
+            if is_idr:
+                emit.update({k: sd[k] for k in ("mastering_display",
+                                                "content_light")
+                             if k in sd})
+            emit.update({k: sd[k] for k in ("hdr10plus_t35", "dovi_rpu")
+                         if k in sd})
+            pre = hdr_nals(emit, codec)
+            if pre:
+                au = pre + au
         self.rc.update(len(au) * 8, qp, is_idr)
         self.stats["frames_out"] += 1
         self.stats["bytes_out"] += len(au)
@@ -370,6 +401,7 @@ class _EncodeStage(WorkObject):
         out = Buffer(track_kind="video", pts=fb.pts,
                      duration=fb.duration or 0)
         out.data = au
+        out.side_data = dict(fb.side_data or {})
         out.frametype = 1 if is_idr else 0
         return out
 
@@ -658,6 +690,13 @@ class _MuxAdapter:
             self.w.metadata = self.metadata
 
     def write_video(self, au: bytes, fb: Buffer, idr: bool):
+        sd = fb.side_data or {}
+        if sd and self.kind not in ("mkv", "webm"):
+            t = self.w.tracks[self.vtrack]
+            if "mastering_display" in sd and not t.mastering:
+                t.mastering = sd["mastering_display"]
+            if "content_light" in sd and not t.cll:
+                t.cll = sd["content_light"]
         dur = fb.duration or 0
         if self.kind in ("mkv", "webm"):
             self.w.write_sample(self.vtrack, au, pts_90k=fb.pts or 0,

@@ -355,3 +355,65 @@ def test_flac_input_decodes_and_aac_degrades_loudly(tmp_path):
     peak_hz = np.argmax(np.abs(f)) * 48000 / len(seg)
     assert abs(peak_hz - 440) < 20, peak_hz
     d.close()
+
+
+def test_hdr_metadata_end_to_end(tmp_path):
+    """HDR10 static metadata (mastering SEI 137 + CLL SEI 144) and a DoVi
+    RPU NAL survive a transcode byte-identically: parsed from the source
+    ES, carried as side_data, re-emitted as SEI/RPU NALs in the output
+    stream, and written as mdcv/clli sample-entry boxes in the mp4
+    (hdr10plus.c:133 / rpu.c:245 / muxavformat.c roles)."""
+    import numpy as np
+    from handbrake_tpu.codecs.hdr import (build_sei_rbsp,
+                                          extract_hdr_side_data)
+    from handbrake_tpu.codecs.hevc.encoder import (EncoderConfig,
+                                                   HEVCEncoder)
+    from handbrake_tpu.codecs.hevc.syntax import nal_unit
+    from handbrake_tpu.job.schema import Job
+    from handbrake_tpu.work import do_job
+
+    W, H, N = 64, 48, 4
+    mastering = bytes(range(10, 34))          # 24 distinctive bytes
+    cll = bytes([0x03, 0xE8, 0x01, 0x90])     # 1000 / 400 nits
+    rpu = b"\x19\x08" + bytes(range(40))      # opaque RPU payload
+    sd_in = {"mastering_display": mastering, "content_light": cll}
+
+    enc = HEVCEncoder(EncoderConfig(width=W, height=H, qp=30, gop=N))
+    rng = np.random.default_rng(0)
+    es = b""
+    for i in range(N):
+        au = enc.encode_frame(rng.integers(0, 255, (H, W), np.uint8),
+                              np.full((H // 2, W // 2), 100, np.uint8),
+                              np.full((H // 2, W // 2), 150, np.uint8))
+        pre = b""
+        if i == 0:
+            pre += nal_unit(39, build_sei_rbsp(sd_in))   # prefix SEI
+        if i == 1:
+            pre += nal_unit(62, rpu)                     # DoVi RPU
+        es += pre + au
+    src = tmp_path / "in.hevc"
+    src.write_bytes(es)
+
+    out = tmp_path / "out.mp4"
+    job = Job(path=str(src), file=str(out), mux="mp4", vcodec="x265",
+              quality=30.0)
+    res = do_job(job)
+    assert not res.get("error"), res
+    data = out.read_bytes()
+    # mp4 boxes carry the static metadata byte-identically
+    im = data.find(b"mdcv")
+    ic = data.find(b"clli")
+    assert im > 0 and data[im + 4:im + 28] == mastering
+    assert ic > 0 and data[ic + 4:ic + 8] == cll
+    # the output HEVC stream re-emits the SEI + RPU
+    from handbrake_tpu.sources.probe import open_source
+    d = open_source(str(out))
+    oes = b""
+    for trk, b in ((t, bb) for t, bb in
+                   ((0, d.read_sample(0, k)) for k in
+                    range(d.n_samples(0)))):
+        oes += b.data
+    sd_out = extract_hdr_side_data(oes, "hevc")
+    assert sd_out.get("mastering_display") == mastering
+    assert sd_out.get("content_light") == cll
+    assert sd_out.get("dovi_rpu") == rpu
