@@ -51,6 +51,15 @@ class AudioChain:
     def _make_encoder(self):
         if self.codec == "flac":
             return FlacEncoder(self.sr_out, self.out_channels, 16)
+        if self.codec in ("aac", "av_aac", "ca_aac"):
+            from .aac import AACEncoder
+            if self.sr_out not in (44100, 48000):
+                self.sr_out = 48000
+            br = float(self.spec.bitrate or 160)
+            import math
+            quality = int(round(132 - 6 * math.log2(max(br, 32) / 160.0)))
+            return AACEncoder(self.sr_out, self.out_channels,
+                              quality=min(200, max(110, quality)))
         return None                      # pcm / copy
 
     def is_passthrough(self) -> bool:
@@ -60,7 +69,8 @@ class AudioChain:
         if self.is_passthrough():
             return self.ti.codec
         return {"flac": "flac", "pcm": "pcm_s16le",
-                "pcm_s16le": "pcm_s16le"}.get(self.codec, "pcm_s16le")
+                "pcm_s16le": "pcm_s16le", "aac": "aac", "av_aac": "aac",
+                "ca_aac": "aac"}.get(self.codec, "pcm_s16le")
 
     def extradata(self, initial: bool = False) -> bytes:
         """Codec config for the muxer. ``initial=True`` (header written
@@ -75,6 +85,8 @@ class AudioChain:
                 si = si[:13] + bytes([si[13] & 0xF0]) \
                     + b"\x00\x00\x00\x00" + b"\x00" * 16
             return bytes([0x80, 0, 0, len(si)]) + si
+        if self.out_codec() == "aac" and self._enc is not None:
+            return self._enc.audio_specific_config()
         if self.is_passthrough():
             return self.ti.extradata
         return b""
@@ -112,6 +124,11 @@ class AudioChain:
         return b
 
     def _encode(self, pcm: np.ndarray) -> list:
+        if self.out_codec() == "aac":
+            out = []
+            for au in self._enc.encode(np.clip(pcm, -1, 1)):
+                out.append(self._packet(au, 1024))
+            return out
         if self.codec == "flac":
             pcm16 = np.clip(pcm * 32767.0, -32768, 32767).astype(np.int32)
             out = []
@@ -129,6 +146,8 @@ class AudioChain:
         return [self._packet(data, len(pcm))]
 
     def flush(self) -> list:
+        if self.out_codec() == "aac" and self._enc is not None:
+            return [self._packet(au, 1024) for au in self._enc.flush()]
         if self._enc is not None:
             n = len(self._enc._pending)
             data = self._enc.flush()

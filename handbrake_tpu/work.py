@@ -599,14 +599,13 @@ def _make_audio_decoder(ti):
 def _make_audio_encoder(spec, ti):
     """Audio chain per output track (resample/mixdown/gain/drc + encoder).
 
-    No native AAC encoder exists yet (the ISO Huffman codebooks are not
-    derivable in this environment); a requested lossy codec degrades to
-    FLAC (lossless, every player handles it) with a LOUD log line — never
-    silently (the reference errors or uses a real encoder)."""
+    AAC-LC encodes natively (audio/aac.py — HandBrake's default audio
+    codec, encavcodecaudio.c:573 role). Other lossy codecs still degrade
+    to FLAC (lossless) with a LOUD log line — never silently."""
     from .audio.chain import AudioChain
     import copy as _copy
     spec = _copy.copy(spec)
-    if spec.encoder in ("aac", "opus", "vorbis", "mp3", "ac3", "eac3"):
+    if spec.encoder in ("opus", "vorbis", "mp3", "ac3", "eac3"):
         log(f"audio encoder {spec.encoder!r} not implemented natively yet; "
             f"encoding FLAC (lossless) instead")
         spec.encoder = "flac"
@@ -649,6 +648,8 @@ class _MuxAdapter:
                 if chain is not None and chain.out_codec() == "flac":
                     from .audio.flac import FLAC_MARKER
                     priv = FLAC_MARKER + chain.extradata(initial=True)
+                elif chain is not None and chain.out_codec() == "aac":
+                    priv = chain.extradata()   # AudioSpecificConfig
                 elif chain is not None and chain.is_passthrough():
                     priv = ti.extradata
                 self._amap[si] = self.w.add_audio_track(

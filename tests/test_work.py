@@ -333,7 +333,7 @@ def test_flac_input_decodes_and_aac_degrades_loudly(tmp_path):
     j.audio = [AudioJobTrack(track=0, encoder="flac", mixdown="stereo")]
     work.do_job(j)
 
-    # gen2: FLAC input; request aac → degrades to flac (loudly)
+    # gen2: FLAC input; request aac → native AAC-LC encode (no degrade)
     gen2 = str(tmp_path / "gen2.mkv")
     j2 = Job(path=gen1, file=gen2, mux="mkv", quality=30.0)
     j2.audio = [AudioJobTrack(track=0, encoder="aac", mixdown="stereo")]
@@ -342,18 +342,33 @@ def test_flac_input_decodes_and_aac_degrades_loudly(tmp_path):
     d = MKVDemuxer(gen2)
     at = [i for i, tt in enumerate(d.tracks) if tt.kind == "audio"]
     assert len(at) == 1
-    assert d.tracks[at[0]].codec == "flac"
-    # decode the flac track: the 440 Hz tone must survive two generations
-    xd = d.tracks[at[0]].extradata
-    frames = b"".join(p.data for trk, p in d.packets() if trk == at[0])
-    fd = FlacDecoder((xd if xd.startswith(FLAC_MARKER) else
-                      FLAC_MARKER + xd) + frames)
-    pcm = fd.decode_all().astype(np.float64) / 32768.0
-    assert pcm.shape[0] > 4000
-    seg = pcm[1000:5000, 0]
-    f = np.fft.rfft(seg * np.hanning(len(seg)))
-    peak_hz = np.argmax(np.abs(f)) * 48000 / len(seg)
-    assert abs(peak_hz - 440) < 20, peak_hz
+    assert d.tracks[at[0]].codec == "aac"
+    asc = d.tracks[at[0]].extradata
+    assert len(asc) >= 2 and (asc[0] >> 3) == 2       # AAC-LC config
+    aus = [p.data for trk, p in d.packets() if trk == at[0]]
+    assert aus and all(a for a in aus)
+    # the 440 Hz tone must survive two generations (libavcodec decode)
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(__file__))
+    try:
+        import ffaudio
+        ok = ffaudio.available()
+    except Exception:
+        ok = False
+    if ok:
+        mp3 = ('/opt/venv/lib/python3.12/site-packages/pygame/examples/'
+               'data/house_lo.mp3')
+        if _os.path.exists(mp3):
+            ffaudio.FFAudioDecoder("mp3").decode_packets(
+                [open(mp3, 'rb').read()])
+        from handbrake_tpu.audio.aac import AACEncoder
+        hdr = AACEncoder(48000, 2)
+        adts = b"".join(hdr.adts_header(len(a)) + a for a in aus)
+        pcm = ffaudio.FFAudioDecoder("aac").decode_packets([adts])
+        seg = pcm[2048:6048, 0]
+        f = np.fft.rfft(seg * np.hanning(len(seg)))
+        peak_hz = np.argmax(np.abs(f)) * 48000 / len(seg)
+        assert abs(peak_hz - 440) < 20, peak_hz
     d.close()
 
 
