@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="preset name (see --preset-list)")
     p.add_argument("--preset-list", action="store_true")
     p.add_argument("--preset-import-file")
+    p.add_argument("--queue-import-file",
+                   help="JSON list of job dicts to run in order")
     # video
     p.add_argument("-e", "--encoder",
                    help="video encoder (h264_tpu, ...)")
@@ -60,6 +62,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-w", "--width", type=int)
     p.add_argument("-l", "--height", type=int)
     p.add_argument("--crop", help="top:bottom:left:right")
+    p.add_argument("--non-anamorphic", action="store_const", const=0,
+                   dest="anamorphic")
+    p.add_argument("--auto-anamorphic", "--strict-anamorphic",
+                   action="store_const", const=1, dest="anamorphic")
+    p.add_argument("--loose-anamorphic", action="store_const", const=2,
+                   dest="anamorphic")
+    p.add_argument("--custom-anamorphic", action="store_const", const=3,
+                   dest="anamorphic")
+    p.add_argument("--modulus", type=int, default=2)
+    p.add_argument("--maxWidth", "--max-width", type=int, default=0,
+                   dest="max_width")
+    p.add_argument("--maxHeight", "--max-height", type=int, default=0,
+                   dest="max_height")
+    p.add_argument("--pixel-aspect", help="PARX:PARY (custom anamorphic)")
+    p.add_argument("--keep-display-aspect", action="store_true",
+                   default=True)
+    p.add_argument("--no-keep-display-aspect", dest="keep_display_aspect",
+                   action="store_false")
     p.add_argument("--auto-crop", action="store_true", default=True)
     p.add_argument("--no-auto-crop", dest="auto_crop",
                    action="store_false")
@@ -89,6 +109,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-E", "--aencoder", default="aac")
     p.add_argument("-B", "--ab", type=int, default=160)
     p.add_argument("--mixdown", default="stereo")
+    p.add_argument("-R", "--arate", default=None,
+                   help="audio samplerate (kHz or Hz)")
+    p.add_argument("--gain", type=float, default=0.0,
+                   help="audio gain dB")
+    p.add_argument("--drc", type=float, default=0.0,
+                   help="dynamic range compression (1.0-4.0)")
+    p.add_argument("--acompressor", type=float, default=0.0,
+                   help="compressor ratio (acompressor)")
+    p.add_argument("--agate", type=float, default=0.0,
+                   help="gate threshold dB (agate)")
     # subtitles (SRT import — decsrtsub.c role)
     p.add_argument("--srt-file", help="comma list of .srt files to import")
     p.add_argument("--srt-lang", default="und",
@@ -206,6 +236,15 @@ def apply_cli_overrides(job: Job, args) -> Job:
             cs.settings["width"] = args.width
         if args.height:
             cs.settings["height"] = args.height
+    if getattr(args, "anamorphic", None) is not None:
+        job.anamorphic_mode = args.anamorphic
+        job.modulus = args.modulus
+        job.max_width = args.max_width
+        job.max_height = args.max_height
+        job.keep_display_aspect = args.keep_display_aspect
+        if args.pixel_aspect:
+            pn, pd = args.pixel_aspect.split(":")
+            job.par_num, job.par_den = int(pn), int(pd)
     # framerate
     if args.cfr or args.pfr or args.vfr or args.rate:
         mode = 1 if args.cfr else 2 if args.pfr else 0
@@ -231,8 +270,16 @@ def apply_cli_overrides(job: Job, args) -> Job:
         job.audio = []
     elif args.audio:
         tracks = [int(x) - 1 for x in args.audio.split(",")]
+        arate = 0
+        if args.arate:
+            f = float(args.arate)
+            arate = int(f * 1000) if f < 200 else int(f)
         job.audio = [AudioJobTrack(track=t, encoder=args.aencoder,
-                                   bitrate=args.ab, mixdown=args.mixdown)
+                                   bitrate=args.ab, mixdown=args.mixdown,
+                                   samplerate=arate, gain=args.gain,
+                                   drc=args.drc,
+                                   compressor=args.acompressor,
+                                   gate=args.agate)
                      for t in tracks]
     # subtitles
     if args.srt_file:
@@ -272,6 +319,28 @@ def main(argv=None) -> int:
     if args.preset_list:
         list_presets()
         return 0
+    if args.queue_import_file:
+        # run a saved queue: JSON list of job dicts (the Worker-process
+        # queue import, test.c --queue-import-file role)
+        import json as _json
+
+        from ..job.schema import Job as _Job
+        from ..work import do_job as _do_job
+        with open(args.queue_import_file) as f:
+            items = _json.load(f)
+        if isinstance(items, dict):
+            items = [items]
+        rc = 0
+        for i, d in enumerate(items):
+            jd = d.get("Job", d)
+            job = _Job.from_json(jd)
+            print(f"queue job {i + 1}/{len(items)}: {job.path} -> "
+                  f"{job.file}")
+            stats = _do_job(job)
+            if stats.get("error"):
+                print(f"job {i + 1} failed: {stats}", file=sys.stderr)
+                rc = 3
+        return rc
     if not args.input:
         print("missing -i/--input", file=sys.stderr)
         return 1

@@ -115,6 +115,13 @@ class Job:
     # Source
     path: str = ""
     title: int = 1
+    # anamorphic geometry request (hb_geometry_settings_t; resolved at
+    # work time via job/geometry.py set_anamorphic_size2)
+    anamorphic_mode: Optional[int] = None   # 0 none 1 strict 2 loose 3 custom
+    modulus: int = 2
+    max_width: int = 0
+    max_height: int = 0
+    keep_display_aspect: bool = True
     angle: int = 0
     range: RangeSpec = dataclasses.field(default_factory=RangeSpec)
     # Destination
@@ -175,6 +182,12 @@ class Job:
                           "End": self.range.end},
             },
             "PAR": {"Num": self.par_num, "Den": self.par_den},
+            **({"Geometry": {
+                "AnamorphicMode": self.anamorphic_mode,
+                "Modulus": self.modulus, "MaxWidth": self.max_width,
+                "MaxHeight": self.max_height,
+                "KeepDisplayAspect": self.keep_display_aspect}}
+               if self.anamorphic_mode is not None else {}),
             "Video": {
                 "Encoder": self.vcodec,
                 "Preset": self.encoder_preset, "Tune": self.encoder_tune,
@@ -237,6 +250,14 @@ class Job:
         par = d.get("PAR", {})
         j.par_num = par.get("Num", 1)
         j.par_den = par.get("Den", 1)
+        geo = d.get("Geometry", {})
+        if geo:
+            j.anamorphic_mode = geo.get("AnamorphicMode")
+            j.modulus = geo.get("Modulus", 2)
+            j.max_width = geo.get("MaxWidth", 0)
+            j.max_height = geo.get("MaxHeight", 0)
+            j.keep_display_aspect = bool(geo.get("KeepDisplayAspect",
+                                                 True))
         v = d.get("Video", {})
         j.vcodec = v.get("Encoder", "h264_tpu")
         if "Quality" in v:

@@ -190,6 +190,39 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
         pix_fmt=PIX_FMTS.get("yuv420p"), vrate=vrate)
     filter_list = [{"ID": f.id, "Settings": f.settings}
                    for f in job.filters]
+    if job.anamorphic_mode is not None:
+        # resolve the geometry request (hb_set_anamorphic_size2) against
+        # the source + requested crop, overriding the crop/scale target
+        from fractions import Fraction as _F
+
+        from .job import schema as _S
+        from .job.geometry import GeometrySettings, set_anamorphic_size2
+        cs = next((f for f in filter_list
+                   if f["ID"] == _S.FILTER_CROP_SCALE), None)
+        st = dict(cs["Settings"]) if cs else {}
+        crop = (st.get("crop-top", 0), st.get("crop-bottom", 0),
+                st.get("crop-left", 0), st.get("crop-right", 0))
+        gw, gh, gpar, _dw = set_anamorphic_size2(
+            vti.width, vti.height,
+            _F(vti.par_num or 1, vti.par_den or 1),
+            GeometrySettings(mode=job.anamorphic_mode,
+                             width=st.get("width", 0),
+                             height=st.get("height", 0),
+                             max_width=job.max_width,
+                             max_height=job.max_height,
+                             modulus=job.modulus,
+                             keep_display_aspect=job.keep_display_aspect,
+                             par_num=job.par_num, par_den=job.par_den,
+                             crop=crop))
+        st.update({"width": gw, "height": gh})
+        if cs is None:
+            filter_list.append({"ID": _S.FILTER_CROP_SCALE,
+                                "Settings": st})
+        else:
+            cs["Settings"] = st
+        job.par_num, job.par_den = gpar.numerator, gpar.denominator
+        fi.geometry = Geometry(vti.width, vti.height,
+                               gpar.numerator, gpar.denominator)
     if any(s.burn for s in sub_specs.values()):
         # auto-insert the burn-in filter (work.c subtitle sanitize analog)
         from .job import schema as S

@@ -100,3 +100,42 @@ def test_setup_passes_multipass():
     assert ps[0].interjob is ps[1].interjob
     j2 = Job(quality=22.0)
     assert [p.pass_id for p in setup_passes(j2)] == [0]
+
+
+def test_cli_anamorphic_and_queue(tmp_path):
+    """--loose-anamorphic resolves output geometry via
+    set_anamorphic_size2; --queue-import-file runs saved job JSON."""
+    import json
+    import numpy as np
+    from handbrake_tpu.cli.__main__ import main
+    from handbrake_tpu.sources.probe import open_source
+
+    W, H, N = 96, 64, 4
+    src = tmp_path / "in.y4m"
+    with open(src, "wb") as f:
+        f.write(f"YUV4MPEG2 W{W} H{H} F25:1 Ip A1:1 C420\n".encode())
+        for i in range(N):
+            f.write(b"FRAME\n")
+            f.write(np.full((H, W), 60 + i, np.uint8).tobytes())
+            f.write(np.full((H // 2, W // 2), 128, np.uint8).tobytes())
+            f.write(np.full((H // 2, W // 2), 128, np.uint8).tobytes())
+    out = tmp_path / "out.mp4"
+    rc = main(["-i", str(src), "-o", str(out), "-q", "30",
+               "--loose-anamorphic", "--modulus", "16",
+               "--maxWidth", "80", "-a", "none"])
+    assert rc == 0
+    d = open_source(str(out))
+    vt = d.tracks[0]
+    assert vt.width % 16 == 0 and vt.width <= 80
+
+    # saved-queue run
+    out2 = tmp_path / "out2.mp4"
+    q = [{"Job": {"Source": {"Path": str(src), "Title": 1},
+                  "Destination": {"File": str(out2), "Mux": "mp4"},
+                  "Video": {"Encoder": "h264", "Quality": 30.0},
+                  "Audio": {"AudioList": []}}}]
+    qf = tmp_path / "queue.json"
+    qf.write_text(json.dumps(q))
+    rc = main(["--queue-import-file", str(qf)])
+    assert rc == 0
+    assert out2.exists() and out2.stat().st_size > 500
