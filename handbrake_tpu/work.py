@@ -696,6 +696,16 @@ class _MuxAdapter:
             self.vtrack = self.w.add_video_track(
                 codec=mux_vcodec, width=out_fi.geometry.width,
                 height=out_fi.geometry.height)
+            # colr nclx from the title's signalled colorimetry (the
+            # muxavformat.c track-setup analog; mdcv/clli follow from
+            # side_data at write_video time)
+            tcolor = dict(getattr(src, "color", None) or {})
+            tcolor.update(job.color or {})
+            self.w.tracks[self.vtrack].color = {
+                "Primaries": tcolor.get("Primaries", 1),
+                "Transfer": tcolor.get("Transfer", 1),
+                "Matrix": tcolor.get("Matrix", 1),
+                "Range": tcolor.get("Range", 1)}
             for si, spec in audio_sel:
                 ti = src.tracks[si]
                 chain = self.aencs.get(si)

@@ -196,3 +196,70 @@ def test_pes_header_split_across_packets(tmp_path):
     assert pkts[0][1].pts == 123456
     assert pkts[0][1].data == b"\xAB" * 100
     d.close()
+
+
+def _build_ts_bytes():
+    import numpy as np
+    from handbrake_tpu.codecs.h264.encoder import EncoderConfig, H264Encoder
+    enc = H264Encoder(EncoderConfig(width=64, height=48, qp=18, gop=4,
+                                    backend="host"))
+    rng = np.random.default_rng(0)
+    out = pat(0) + pmt(0)
+    cc = 0
+    for i in range(12):
+        au = enc.encode_frame(
+            rng.integers(0, 255, (48, 64), np.uint8),
+            np.full((24, 32), 110, np.uint8),
+            np.full((24, 32), 60, np.uint8))
+        p = pes(0xE0, 3003 * i, au)
+        chunk = ts_packets(0x100, p, cc)
+        cc = (cc + len(chunk) // 188) & 0xF
+        out += chunk
+    return out
+
+
+def _corrupt(data, pos, val=0x00):
+    b = bytearray(data)
+    b[pos] = val
+    return bytes(b)
+
+
+def test_ts_resync_after_corrupt_sync_byte(tmp_path):
+    """A corrupted sync byte mid-stream must resync, not stall or die
+    (broadcast-capture robustness; the round-2 advisor's stall case)."""
+    import numpy as np
+    from handbrake_tpu.sources.ts import TSDemuxer
+
+    path = str(tmp_path / "c.ts")
+    open(path, "wb").write(_build_ts_bytes())
+    data = open(path, "rb").read()
+    # corrupt a sync byte half way in (past the detection window)
+    pkt = max(8, len(data) // 188 // 2) * 188
+    open(path, "wb").write(_corrupt(data, pkt, 0x11))
+    d = TSDemuxer(str(path))
+    n = sum(1 for _ in d.packets())
+    assert n > 0
+    d.close()
+
+
+def test_ts_continuity_counter_gap(tmp_path):
+    """Dropping a mid-PES packet (CC gap) must not derail the demux: the
+    stream keeps yielding PES packets afterwards."""
+    from handbrake_tpu.sources.ts import TSDemuxer
+
+    path = str(tmp_path / "g.ts")
+    open(path, "wb").write(_build_ts_bytes())
+    data = open(path, "rb").read()
+    pkts = [data[i:i + 188] for i in range(0, len(data) - 187, 188)]
+    # drop a non-PUSI payload packet (simulates packet loss)
+    for i, p in enumerate(pkts[20:], start=20):
+        pid = ((p[1] & 0x1F) << 8) | p[2]
+        pusi = bool(p[1] & 0x40)
+        if pid > 0x20 and not pusi:
+            del pkts[i]
+            break
+    open(path, "wb").write(b"".join(pkts))
+    d = TSDemuxer(str(path))
+    n = sum(1 for _ in d.packets())
+    assert n > 0
+    d.close()
