@@ -196,8 +196,6 @@ class HEVCEncoder:
         self.W = self.cw * 32
         self.H = self.ch * 32
         self.bd = cfg.bit_depth
-        if self.bd > 8 and cfg.backend == "device":
-            cfg.backend = "host"   # device CTU analyzer is 8-bit for now
         self.vps = VPS(level_idc=cfg.level_idc, bit_depth=self.bd)
         self.sps = SPS(width=self.W, height=self.H,
                        crop_right=self.W - cfg.width,
@@ -216,7 +214,8 @@ class HEVCEncoder:
         self._analyzer = None
         if cfg.backend == "device":
             from .encoder_tpu import build_ctu_analyzer
-            self._analyzer = build_ctu_analyzer(self.cw, self.ch, cfg.qp)
+            self._analyzer = build_ctu_analyzer(self.cw, self.ch, cfg.qp,
+                                                maxval=(1 << self.bd) - 1)
 
     def headers(self) -> bytes:
         return self.vps.to_nal() + self.sps.to_nal() + self.pps.to_nal()

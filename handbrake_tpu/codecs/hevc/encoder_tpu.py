@@ -42,23 +42,26 @@ def _lanes(n, m=128):
     return ((n + m - 1) // m) * m
 
 
-def _onehot_select(sub, roff, coff, out_h, out_w):
+def _onehot_select(sub, roff, coff, out_h, out_w, precise=False):
     """sub: (b, n, H, W); roff/coff: (b, n) dynamic origins. Returns
     (b, n, out_h, out_w) = sub[roff:roff+out_h, coff:coff+out_w] per
-    (b, n) via R @ sub @ C on the MXU."""
+    (b, n) via R @ sub @ C on the MXU.  precise=True keeps the pixel
+    operand in f32 (bf16 is exact only for 8-bit samples; Main 10 pixels
+    need the wider mantissa)."""
     b, n, Hs, Ws = sub.shape
+    pdt = jnp.float32 if precise else jnp.bfloat16
     R = (roff[..., None, None] + jnp.arange(out_h)[:, None]
-         == jnp.arange(Hs)[None, None, None, :]).astype(jnp.bfloat16)
+         == jnp.arange(Hs)[None, None, None, :]).astype(pdt)
     C = (coff[..., None, None] + jnp.arange(out_w)[None, :]
-         == jnp.arange(Ws)[None, None, :, None]).astype(jnp.bfloat16)
-    t = jnp.einsum("bnrh,bnhw->bnrw", R, sub.astype(jnp.bfloat16),
+         == jnp.arange(Ws)[None, None, :, None]).astype(pdt)
+    t = jnp.einsum("bnrh,bnhw->bnrw", R, sub.astype(pdt),
                    preferred_element_type=jnp.float32)
-    out = jnp.einsum("bnrw,bnwc->bnrc", t.astype(jnp.bfloat16), C,
+    out = jnp.einsum("bnrw,bnwc->bnrc", t.astype(pdt), C,
                      preferred_element_type=jnp.float32)
     return out.astype(jnp.int32)
 
 
-def _subpel_grids(A):
+def _subpel_grids(A, maxval=255):
     """A: (n, 40, 40) int32, A[:, 4, 4] = block origin at best full-pel.
 
     Returns dict (fx, fy) -> (n, 33, 33) grids where element [r, c] is the
@@ -82,15 +85,17 @@ def _subpel_grids(A):
                 acc = sum(int(f[k]) * tmp[fx][:, k:k + 33, :]
                           for k in range(8))
                 g = (acc + (1 << 11)) >> 12
-            grids[(fx, fy)] = jnp.clip(g, 0, 255)
+            grids[(fx, fy)] = jnp.clip(g, 0, maxval)
     return grids
 
 
-def build_ctu_analyzer_fn(cw: int, ch: int, qp: int):
+def build_ctu_analyzer_fn(cw: int, ch: int, qp: int, maxval: int = 255):
     """Un-jitted analyze(src_y, src_u, src_v, ref_y, ref_u, ref_v) ->
     {"mv": (n_ctu, 2) quarter-pel int32, "sad": (n_ctu,)}.  qp reserved
-    for a future device transform/quant stage (H.264 parity)."""
+    for a future device transform/quant stage (H.264 parity).
+    maxval > 255 (Main 10) widens the one-hot fetch to f32."""
     del qp
+    precise = maxval > 255
     H, W = ch * 32, cw * 32
     n = cw * ch
     r = REFINE_R
@@ -131,7 +136,7 @@ def build_ctu_analyzer_fn(cw: int, ch: int, qp: int):
         my = mv_cy.reshape(ch, cw)
         mx = mv_cx.reshape(ch, cw)
         wy = _onehot_select(sub, my + (PAD_A - 8), mx + (PAD_A - 8),
-                            WIN, WIN).reshape(n, WIN, WIN)
+                            WIN, WIN, precise).reshape(n, WIN, WIN)
 
         # --- full-pel refine +-r (static slices) ---
         cc = []
@@ -153,7 +158,7 @@ def build_ctu_analyzer_fn(cw: int, ch: int, qp: int):
             A = A + jnp.where((fbi == k)[:, None, None], sl, 0)
 
         # --- quarter-pel refine: 25 candidates on exact 8-tap grids ---
-        grids = _subpel_grids(A)
+        grids = _subpel_grids(A, maxval)
         qcands = [(dqx, dqy) for dqy in range(-2, 3) for dqx in range(-2, 3)]
         qsads = []
         for dqx, dqy in qcands:
@@ -172,6 +177,6 @@ def build_ctu_analyzer_fn(cw: int, ch: int, qp: int):
     return analyze
 
 
-def build_ctu_analyzer(cw: int, ch: int, qp: int):
+def build_ctu_analyzer(cw: int, ch: int, qp: int, maxval: int = 255):
     """Jitted analyzer; signature matches encoder.py's call site."""
-    return jax.jit(build_ctu_analyzer_fn(cw, ch, qp))
+    return jax.jit(build_ctu_analyzer_fn(cw, ch, qp, maxval))

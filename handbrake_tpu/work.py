@@ -709,11 +709,16 @@ class _MuxAdapter:
             for si, spec in audio_sel:
                 ti = src.tracks[si]
                 chain = self.aencs.get(si)
+                xd = b""
+                if chain is not None and chain.out_codec() == "aac":
+                    xd = chain.extradata()     # AudioSpecificConfig
+                elif chain is not None and chain.is_passthrough():
+                    xd = ti.extradata
                 self._amap[si] = self.w.add_audio_track(
                     codec=chain.out_codec() if chain else ti.codec,
                     sample_rate=chain.sr_out if chain else ti.sample_rate,
                     channels=chain.out_channels if chain else ti.channels,
-                    language=ti.language)
+                    extradata=xd, language=ti.language)
         for k, sspec in (sub_specs or {}).items():
             if sspec.burn:
                 continue

@@ -397,3 +397,30 @@ def test_hevc10_quality_scales():
         err = np.abs(enc.recon_y[:H, :W].astype(int)
                      - y.astype(int)).mean()
         assert err < 12.0  # ~3 8-bit units at qp24
+
+
+def test_main10_device_analyzer_conformant():
+    """Main 10 no longer falls back to host: the device CTU analyzer runs
+    at 10-bit (f32 one-hot fetch) and the stream stays bit-exact vs
+    libavcodec."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.dirname(__file__))
+    import ffdec
+    if not ffdec.available():
+        pytest.skip("libavcodec oracle unavailable")
+    enc = HEVCEncoder(EncoderConfig(width=64, height=48, qp=30, gop=3,
+                                    bit_depth=10, backend="device"))
+    assert enc.cfg.backend == "device" and enc._analyzer is not None
+    rng = np.random.default_rng(0)
+    stream = b""
+    for _ in range(3):
+        stream += enc.encode_frame(
+            rng.integers(0, 1024, (48, 64), np.uint16),
+            np.full((24, 32), 500, np.uint16),
+            np.full((24, 32), 600, np.uint16))
+    ref = ffdec.decode_yuv(stream, "hevc", bits=10)
+    assert len(ref) == 3
+    assert np.array_equal(np.asarray(ref[-1][0]),
+                          np.asarray(enc.recon_y)[:48, :64]
+                          .astype(np.uint16))
