@@ -66,6 +66,10 @@ class EncoderConfig:
     # native C++ stage (cabac264.h); requires the native lib and the
     # device analysis path for P frames.
     cabac: bool = False
+    # Intra_4x4 prediction in the host walker (all 9 modes with per-block
+    # mode decision). Opt-in: it routes I slices through the python
+    # walker instead of the native I16 stage, trading speed for RD.
+    intra4x4: bool = False
 
 
 class MBCtx:
@@ -620,7 +624,8 @@ class H264Encoder:
         qp = self.cfg.qp if qp is None else qp
         qpc = T.chroma_qp(qp, self.cfg.chroma_qp_offset)
         deblk = 0 if self.cfg.deblock else 1
-        if idr and analysis is None and self._natlib is not None:
+        if idr and analysis is None and self._natlib is not None \
+                and not self.cfg.intra4x4:
             hdr = SliceHeader(slice_type=SLICE_I, idr=True, frame_num=0,
                               idr_pic_id=self.idr_pic_id, qp=qp,
                               disable_deblocking=deblk)
@@ -644,6 +649,8 @@ class H264Encoder:
         bw = hdr.write(self.sps, self.pps)
 
         ctx = MBCtx(self.mb_w, self.mb_h)
+        self._ipred4 = np.full((self.mb_h * 4, self.mb_w * 4), -1,
+                               np.int32)
         new_y = np.zeros_like(y)
         new_u = np.zeros_like(u)
         new_v = np.zeros_like(v)
@@ -719,6 +726,24 @@ class H264Encoder:
             if best_icost is None or c < best_icost:
                 best_imode, best_ipred, best_icost = m, pred, c
 
+        i4 = None
+        if self.cfg.intra4x4:
+            # true-reconstruction RDO between I_4x4 and I_16x16: SSD of
+            # the actual coded result + an nnz-proportional rate proxy
+            # (the SAD pre-quant model misranks them at mid/coarse qp)
+            i4 = self._analyze_i4(src16, new_y, mbx, mby, qp)
+            _dc, _ac, rec16_i16, _cbp, nnz16v = encode_i16_luma(
+                src16, best_ipred, qp)
+            lam2 = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+            s32 = src16.astype(np.int64)
+            j16 = (((s32 - rec16_i16) ** 2).sum()
+                   + lam2 * (6.0 * float(np.sum(nnz16v)) + 10.0))
+            j4 = (((s32 - i4[4]) ** 2).sum()
+                  + lam2 * (6.0 * float(sum(i4[3])) + 30.0))
+            if j4 < j16:
+                best_icost = min(best_icost, i4[0])
+            else:
+                i4 = None
         inter_ok = slice_type == SLICE_P
         if inter_ok:
             pred_mv = P.predict_mv_16x16(ctx.mvs, ctx.refs, mbx, mby,
@@ -737,12 +762,190 @@ class H264Encoder:
             use_intra = True
 
         if use_intra:
+            if i4 is not None:
+                _, modes_z, levels16, nnz16, recon16 = i4
+                return self._write_intra4_mb(
+                    bw, ctx, mbx, mby, modes_z, levels16, nnz16, recon16,
+                    srcu, srcv, new_y, new_u, new_v, qp, qpc, slice_type,
+                    skip_run)
             return self._write_intra_mb(
                 bw, ctx, mbx, mby, src16, srcu, srcv, new_y, new_u, new_v,
                 best_imode, best_ipred, qp, qpc, slice_type, skip_run)
         return self._write_inter_mb(
             bw, ctx, mbx, mby, src16, srcu, srcv, new_y, new_u, new_v,
             ref_y, ref_u, ref_v, mv, pred_mv, mc, qp, qpc, skip_run)
+
+    # -- Intra_4x4 (spec 8.3.1) -------------------------------------------
+    def _i4_mode_at(self, gx, gy, local):
+        if (gx, gy) in local:
+            return local[(gx, gy)]
+        if gx < 0 or gy < 0 or gx >= self.mb_w * 4 or gy >= self.mb_h * 4:
+            return -1
+        v = int(self._ipred4[gy, gx])
+        return v
+    def _i4_mpm(self, gx, gy, local):
+        a = self._i4_mode_at(gx - 1, gy, local)
+        b = self._i4_mode_at(gx, gy - 1, local)
+        if a < 0 or b < 0:
+            return 2
+        return min(a, b)
+
+    def _blk_coded_before(self, gx, gy, mbx, mby, zidx):
+        """decoder blk_avail mirror: cell decoded before block zidx of the
+        current MB (raster MBs; z-order blocks within)."""
+        if gx < 0 or gy < 0 or gx >= self.mb_w * 4 or gy >= self.mb_h * 4:
+            return False
+        mbi = (gy // 4) * self.mb_w + (gx // 4)
+        cur = mby * self.mb_w + mbx
+        if mbi != cur:
+            return mbi < cur
+        b = (gy % 4) * 4 + (gx % 4)
+        z = int(np.nonzero(_CODED_ORDER == b)[0][0])
+        return z < zidx
+
+    def _analyze_i4(self, src16, new_y, mbx, mby, qp):
+        """Greedy per-block mode decision with in-loop reconstruction.
+        Returns (cost, modes_z, levels16, nnz16, recon16)."""
+        x0, y0 = mbx * 16, mby * 16
+        H, W = new_y.shape
+        # extended context: row above (incl. 8 top-right), col left, corner
+        ext = np.zeros((17, 25), np.int32)
+        ys = max(0, y0 - 1)
+        if y0 > 0:
+            xe = min(W, x0 + 24)
+            ext[0, 1:1 + xe - x0] = new_y[y0 - 1, x0:xe]
+        if x0 > 0:
+            ye = min(H, y0 + 16)
+            ext[1:1 + ye - y0, 0] = new_y[y0:ye, x0 - 1]
+        if x0 > 0 and y0 > 0:
+            ext[0, 0] = new_y[y0 - 1, x0 - 1]
+        del ys
+        modes_z, levels16, nnz16 = [], [0] * 16, [0] * 16
+        local = {}
+        cost = 0.0
+        for k in range(16):
+            b = int(_CODED_ORDER[k])
+            bx, by = b % 4, b // 4
+            gx, gy = mbx * 4 + bx, mby * 4 + by
+            px, py = bx * 4, by * 4
+            ha = self._blk_coded_before(gx - 1, gy, mbx, mby, k)
+            hb = self._blk_coded_before(gx, gy - 1, mbx, mby, k)
+            hc = self._blk_coded_before(gx + 1, gy - 1, mbx, mby, k)
+            hd = self._blk_coded_before(gx - 1, gy - 1, mbx, mby, k)
+            top = ext[py, 1 + px:1 + px + 8].copy()
+            left = ext[1 + py:1 + py + 4, px].copy()
+            tl = int(ext[py, px])
+            mpm = self._i4_mpm(gx, gy, local)
+            ok = [2]
+            if hb:
+                ok += [0, 3, 7]
+            if ha:
+                ok += [1, 8]
+            if ha and hb and hd:
+                ok += [4, 5, 6]
+            src4 = src16[py:py + 4, px:px + 4].astype(np.int32)
+            best = None
+            for m in ok:
+                pred = P.intra4_pred(m, top, left, tl, ha, hb, hc, hd)
+                c = (np.abs(src4 - pred).sum()
+                     + self.lm * (1 if m == mpm else 4))
+                if best is None or c < best[0]:
+                    best = (c, m, pred)
+            c, m, pred = best
+            res = src4 - pred
+            w = T.fdct4x4(np, res[None])
+            lv = T.quant4x4(np, w, qp, intra=True)
+            nz = int((lv != 0).sum())
+            dq = T.dequant4x4(np, lv, qp)
+            r = T.idct4x4(np, dq)[0]
+            rec4 = np.clip(pred + r, 0, 255)
+            ext[1 + py:1 + py + 4, 1 + px:1 + px + 4] = rec4
+            local[(gx, gy)] = m
+            modes_z.append(m)
+            levels16[b] = lv[0]
+            nnz16[b] = nz
+            cost += c
+        recon16 = ext[1:17, 1:17]
+        return cost, modes_z, levels16, nnz16, recon16
+
+    def _write_intra4_mb(self, bw, ctx, mbx, mby, modes_z, levels16,
+                         nnz16, recon16, srcu, srcv, new_y, new_u, new_v,
+                         qp, qpc, slice_type, skip_run):
+        x0, y0 = mbx * 16, mby * 16
+        cx0, cy0 = mbx * 8, mby * 8
+        if slice_type == SLICE_P:
+            if skip_run >= 0:
+                bw.ue(skip_run)
+            skip_run = 0
+            bw.ue(5)                      # I_NxN in P
+        else:
+            bw.ue(0)
+        # prediction modes (prev flag + 3-bit remainder), z-order
+        local = {}
+        for k in range(16):
+            b = int(_CODED_ORDER[k])
+            gx = mbx * 4 + b % 4
+            gy = mby * 4 + b // 4
+            mpm = self._i4_mpm(gx, gy, local)
+            m = modes_z[k]
+            if m == mpm:
+                bw.put_bit(1)
+            else:
+                bw.put_bit(0)
+                bw.put(m if m < mpm else m - 1, 3)
+            local[(gx, gy)] = m
+        # chroma (same decision as the I16 path)
+        tu, lu, tlu = _chroma_neighbors(new_u, mbx, mby)
+        tv, lv_, tlv = _chroma_neighbors(new_v, mbx, mby)
+        best = None
+        for cm in chroma_candidate_modes(tu, lu):
+            pu = P.chroma_pred(cm, tu, lu, tlu)
+            pv = P.chroma_pred(cm, tv, lv_, tlv)
+            c = _sad(srcu, pu) + _sad(srcv, pv)
+            if best is None or c < best[0]:
+                best = (c, cm, pu, pv)
+        _, cmode, predu, predv = best
+        udc, uac, urec, u_dc, u_ac, nnz_u = encode_chroma(srcu, predu,
+                                                          qpc, True)
+        vdc, vac, vrec, v_dc, v_ac, nnz_v = encode_chroma(srcv, predv,
+                                                          qpc, True)
+        cbp_chroma = 2 if (u_ac or v_ac) else (1 if (u_dc or v_dc) else 0)
+        idx = np.arange(16)
+        quad_of = (idx // 8) * 2 + (idx % 4) // 2
+        cbp_luma = 0
+        for q in range(4):
+            if sum(nnz16[i] for i in range(16) if quad_of[i] == q):
+                cbp_luma |= 1 << q
+        cbp = cbp_luma | (cbp_chroma << 4)
+        bw.ue(cmode)
+        bw.ue(CBP_INTRA4x4_INV[cbp])
+        if cbp:
+            bw.se(0)                      # mb_qp_delta (fixed-QP)
+        # luma residual (z-order, 16-coeff blocks, coded quads only)
+        b0y, b0x = mby * 4, mbx * 4
+        for k in range(16):
+            b = int(_CODED_ORDER[k])
+            by4, bx4 = b0y + b // 4, b0x + b % 4
+            if not (cbp_luma >> int(quad_of[b])) & 1:
+                ctx.nnz_l[by4, bx4] = 0
+                continue
+            nc = ctx.nc_luma(by4, bx4)
+            tc = encode_residual(bw, zigzag(levels16[b]), nc, 16)
+            ctx.nnz_l[by4, bx4] = tc
+        if cbp:
+            self._write_chroma_residual(bw, ctx, mbx, mby, cbp_chroma,
+                                        udc, uac, nnz_u, vdc, vac, nnz_v)
+        else:
+            ctx.nnz_cb[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+            ctx.nnz_cr[mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+        new_y[y0:y0 + 16, x0:x0 + 16] = recon16
+        new_u[cy0:cy0 + 8, cx0:cx0 + 8] = urec
+        new_v[cy0:cy0 + 8, cx0:cx0 + 8] = vrec
+        ctx.refs[(mbx, mby)] = -1
+        for k in range(16):
+            b = int(_CODED_ORDER[k])
+            self._ipred4[mby * 4 + b // 4, mbx * 4 + b % 4] = modes_z[k]
+        return skip_run
 
     def _write_intra_mb(self, bw, ctx, mbx, mby, src16, srcu, srcv,
                         new_y, new_u, new_v, imode, ipred, qp, qpc,
@@ -789,6 +992,8 @@ class H264Encoder:
         new_u[cy0:cy0 + 8, cx0:cx0 + 8] = urec
         new_v[cy0:cy0 + 8, cx0:cx0 + 8] = vrec
         ctx.refs[(mbx, mby)] = -1
+        if getattr(self, "_ipred4", None) is not None:
+            self._ipred4[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 2
         return skip_run
 
     def _write_inter_mb(self, bw, ctx, mbx, mby, src16, srcu, srcv,

@@ -237,3 +237,122 @@ def skip_mv(mvs, refs, mb_x, mb_y, mb_w):
     if refs[B] == 0 and mvs[B] == (0, 0):
         return (0, 0)
     return predict_mv_16x16(mvs, refs, mb_x, mb_y, mb_w)
+
+
+def intra4_pred(mode: int, top, left, topleft, ha, hb, hc, hd,
+                bd: int = 8):
+    """4x4 intra prediction (spec 8.3.1.2): top: 8 samples (top-right
+    replicated from top[3] when hc is False), left: 4, topleft scalar.
+    Availability flags mirror the decoder's (hbdec264 intra4x4_pred)."""
+    mid = 1 << (bd - 1)
+    t = np.asarray(top, np.int32) if hb else np.zeros(8, np.int32)
+    if hb and not hc:
+        t = t.copy()
+        t[4:] = t[3]
+    lf = np.asarray(left, np.int32) if ha else np.zeros(4, np.int32)
+    tl = int(topleft) if hd else 0
+    p = np.zeros((4, 4), np.int32)
+    if mode == 0:                          # vertical
+        p[:] = t[:4][None, :]
+    elif mode == 1:                        # horizontal
+        p[:] = lf[:, None]
+    elif mode == 2:                        # DC
+        if ha and hb:
+            v = (int(t[:4].sum()) + int(lf.sum()) + 4) >> 3
+        elif hb:
+            v = (int(t[:4].sum()) + 2) >> 2
+        elif ha:
+            v = (int(lf.sum()) + 2) >> 2
+        else:
+            v = mid
+        p[:] = v
+    elif mode == 3:                        # diagonal down-left
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    p[y, x] = (t[6] + 3 * t[7] + 2) >> 2
+                else:
+                    s = x + y
+                    p[y, x] = (t[s] + 2 * t[s + 1] + t[s + 2] + 2) >> 2
+    elif mode in (4, 5, 6):
+        # sample accessor over the L-shaped neighborhood: P(-1,-1)=tl,
+        # P(x,-1)=top row, P(-1,y)=left column (the index arithmetic in
+        # these modes legitimately reaches -1, which must hit the corner,
+        # never wrap)
+        def smp(sx, sy):
+            if sy == -1:
+                return tl if sx == -1 else int(t[sx])
+            return int(lf[sy])
+        if mode == 4:                      # diagonal down-right
+            for y in range(4):
+                for x in range(4):
+                    if x > y:
+                        p[y, x] = (smp(x - y - 2, -1)
+                                   + 2 * smp(x - y - 1, -1)
+                                   + smp(x - y, -1) + 2) >> 2
+                    elif x < y:
+                        p[y, x] = (smp(-1, y - x - 2)
+                                   + 2 * smp(-1, y - x - 1)
+                                   + smp(-1, y - x) + 2) >> 2
+                    else:
+                        p[y, x] = (t[0] + 2 * tl + lf[0] + 2) >> 2
+        elif mode == 5:                    # vertical right
+            for y in range(4):
+                for x in range(4):
+                    z = 2 * x - y
+                    if z >= 0 and z % 2 == 0:
+                        p[y, x] = (smp(x - (y >> 1) - 1, -1)
+                                   + smp(x - (y >> 1), -1) + 1) >> 1
+                    elif z >= 0:
+                        p[y, x] = (smp(x - (y >> 1) - 2, -1)
+                                   + 2 * smp(x - (y >> 1) - 1, -1)
+                                   + smp(x - (y >> 1), -1) + 2) >> 2
+                    elif z == -1:
+                        p[y, x] = (lf[0] + 2 * tl + t[0] + 2) >> 2
+                    else:
+                        p[y, x] = (smp(-1, y - 2 * x - 1)
+                                   + 2 * smp(-1, y - 2 * x - 2)
+                                   + smp(-1, y - 2 * x - 3) + 2) >> 2
+        else:                              # 6: horizontal down
+            for y in range(4):
+                for x in range(4):
+                    z = 2 * y - x
+                    if z >= 0 and z % 2 == 0:
+                        p[y, x] = (smp(-1, y - (x >> 1) - 1)
+                                   + smp(-1, y - (x >> 1)) + 1) >> 1
+                    elif z >= 0:
+                        p[y, x] = (smp(-1, y - (x >> 1) - 2)
+                                   + 2 * smp(-1, y - (x >> 1) - 1)
+                                   + smp(-1, y - (x >> 1)) + 2) >> 2
+                    elif z == -1:
+                        p[y, x] = (lf[0] + 2 * tl + t[0] + 2) >> 2
+                    else:
+                        p[y, x] = (smp(x - 2 * y - 1, -1)
+                                   + 2 * smp(x - 2 * y - 2, -1)
+                                   + smp(x - 2 * y - 3, -1) + 2) >> 2
+    elif mode == 7:                        # vertical left
+        for y in range(4):
+            for x in range(4):
+                if y % 2 == 0:
+                    p[y, x] = (t[x + (y >> 1)]
+                               + t[x + (y >> 1) + 1] + 1) >> 1
+                else:
+                    p[y, x] = (t[x + (y >> 1)]
+                               + 2 * t[x + (y >> 1) + 1]
+                               + t[x + (y >> 1) + 2] + 2) >> 2
+    else:                                  # 8: horizontal up
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z % 2 == 0 and z < 5:
+                    p[y, x] = (lf[y + (x >> 1)]
+                               + lf[y + (x >> 1) + 1] + 1) >> 1
+                elif z < 5:
+                    p[y, x] = (lf[y + (x >> 1)]
+                               + 2 * lf[y + (x >> 1) + 1]
+                               + lf[y + (x >> 1) + 2] + 2) >> 2
+                elif z == 5:
+                    p[y, x] = (lf[2] + 3 * lf[3] + 2) >> 2
+                else:
+                    p[y, x] = lf[3]
+    return p

@@ -2556,6 +2556,13 @@ static bool parse_residual_cavlc(Dec& D, BR& br, MB& m, int mbx, int mby) {
             int maxc = m.i16 ? 15 : 16;
             int tc = cavlc_residual(D, br, tmp, maxc, nc);
             if (tc < 0) return false;
+            if (getenv("HBDEC_RTRACE")) {
+                fprintf(stderr, "RT g(%d,%d) k%d nc%d tc%d:", gx, gy, k,
+                        nc, tc);
+                for (int i = 0; i < maxc; i++)
+                    fprintf(stderr, " %d", tmp[i]);
+                fprintf(stderr, "\n");
+            }
             if (m.t8x8) {
                 // 8x8 transform: sub-stream k&3 interleaves into the 8x8
                 // scan (spec 8.5.6 [xD,yD] mapping)

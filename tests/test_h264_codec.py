@@ -278,3 +278,33 @@ def test_cabac_profile_signalled():
     nals = list(split_annexb(hdr))
     pps = PPS.parse(ebsp_to_rbsp(nals[1][1:]))
     assert pps.cabac
+
+
+def test_intra4x4_conformance_and_rd():
+    """Intra_4x4 MBs (cfg.intra4x4): streams must stay bit-exact through
+    libavcodec AND the encoder's internal reconstruction must equal the
+    true decode (the in-loop recon feeds P-frame prediction). Also the
+    RD motivation: i4 should not cost bytes at equal qp on structured
+    content (x264 enables it at every preset)."""
+    import ffdec
+    if not ffdec.available():
+        pytest.skip("libavcodec oracle unavailable")
+    W, H, n = 96, 64, 4
+    sizes = {}
+    for i4 in (False, True):
+        enc = H264Encoder(EncoderConfig(width=W, height=H, qp=28, gop=n,
+                                        search_range=12, intra4x4=i4))
+        stream = b""
+        recons = []
+        for y, u, v in synth_clip(W, H, n, seed=5):
+            stream += enc.encode_frame(y, u, v)
+            recons.append(enc.recon_y.copy())
+        frames = ffdec.decode_yuv(stream, "h264")
+        assert len(frames) == n
+        for r, f in zip(recons, frames):
+            assert np.array_equal(np.asarray(r, np.uint8), f[0])
+        sizes[i4] = len(stream)
+        if i4:   # at least one MB actually used Intra_4x4 modes
+            assert np.any(enc._ipred4[:4, :] != 2) or \
+                np.any(enc._ipred4 != enc._ipred4[0, 0])
+    assert sizes[True] <= sizes[False] * 1.02, sizes
