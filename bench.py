@@ -91,9 +91,12 @@ def main():
     fps = 1.0 / dt
 
     # upload-bound ceiling: raw host→device bandwidth on this link for one
-    # frame's packed planes (3.1 MB at 1080p)
-    pk = np.concatenate([np.ascontiguousarray(x).ravel()
-                         for x in frames[0]])
+    # frame's packed planes (3.1 MB at 1080p).  Use the encoder's MB-padded
+    # layout — analyze_packed's plane split assumes it (1080 → 1088 rows).
+    pk = np.concatenate([
+        enc._pad_to_mb(frames[0][0], 16).ravel(),
+        enc._pad_to_mb(frames[0][1], 8).ravel(),
+        enc._pad_to_mb(frames[0][2], 8).ravel()])
     jax.block_until_ready(jax.device_put(pk))
     tu0 = time.perf_counter()
     for _ in range(4):
@@ -110,8 +113,9 @@ def main():
         tb0 = time.perf_counter()
         reps = 8
         for _ in range(reps):
-            dev = enc._analyzer(pk_dev, dev["recon_y"], dev["urec"],
-                                dev["vrec"], 26, 26)
+            # chain on the luma recon plane (serializes reps on-device);
+            # urec/vrec are per-MB payload layout, so chroma refs repeat
+            dev = enc._analyzer(pk_dev, dev["recon_y"], ru, rv, 26, 26)
         jax.block_until_ready(dev["packed_small"])
         devfps = reps / (time.perf_counter() - tb0)
 
