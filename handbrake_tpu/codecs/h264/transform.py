@@ -206,3 +206,134 @@ def mb_block_order_chroma(mb_w: int, mb_h: int):
     order = by * W4 + bx
     inv = np.argsort(order)
     return order.astype(np.int32), inv.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# 8x8 transform (High profile; spec 8.5.12.3 inverse, Table 8-15 normAdjust).
+# The inverse (idct8x8/dequant8x8) is exact spec integer arithmetic and must
+# match the native decoder bit-for-bit (hbdec264.cpp idct8_add/dequant8_block);
+# the forward is derived numerically from the inverse basis (encoder-only —
+# any forward approximation is conformant, only RD depends on it).
+# ---------------------------------------------------------------------------
+_V8 = np.array([[20, 18, 32, 19, 25, 24], [22, 19, 35, 21, 28, 26],
+                [26, 23, 42, 24, 33, 31], [28, 25, 45, 26, 35, 33],
+                [32, 28, 51, 30, 40, 38], [36, 32, 58, 34, 46, 43]],
+               dtype=np.int64)
+
+
+def _v8_class() -> np.ndarray:
+    cls = np.zeros((8, 8), np.int64)
+    for i in range(64):
+        r, c = i >> 3, i & 7
+        rm, cm = r & 3, c & 3
+        if rm == 0 and cm == 0:
+            v = 0
+        elif (r & 1) == 1 and (c & 1) == 1:
+            v = 1
+        elif rm == 2 and cm == 2:
+            v = 2
+        elif (rm == 0 and (c & 1) == 1) or ((r & 1) == 1 and cm == 0):
+            v = 3
+        elif (rm == 0 and cm == 2) or (rm == 2 and cm == 0):
+            v = 4
+        else:
+            v = 5
+        cls[r, c] = v
+    return cls
+
+
+_V8_CLASS = _v8_class()
+V8x8 = _V8[:, _V8_CLASS]              # (6, 8, 8) per-position normAdjust8x8
+
+ZIG8 = np.array([0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+                 12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21,
+                 28, 35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30,
+                 37, 44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61,
+                 54, 47, 55, 62, 63], dtype=np.int32)
+
+
+def _idct8_1d_int(a):
+    """Spec 8.5.12.3 1D inverse butterfly (integer, >> = floor shift).
+    a: (..., 8) int array (numpy)."""
+    a0, a1, a2, a3 = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    a4, a5, a6, a7 = a[..., 4], a[..., 5], a[..., 6], a[..., 7]
+    e0 = a0 + a4
+    e1 = -a3 + a5 - a7 - (a7 >> 1)
+    e2 = a0 - a4
+    e3 = a1 + a7 - a3 - (a3 >> 1)
+    e4 = (a2 >> 1) - a6
+    e5 = -a1 + a7 + a5 + (a5 >> 1)
+    e6 = a2 + (a6 >> 1)
+    e7 = a3 + a5 + a1 + (a1 >> 1)
+    f0 = e0 + e6
+    f1 = e1 + (e7 >> 2)
+    f2 = e2 + e4
+    f3 = e3 + (e5 >> 2)
+    f4 = e2 - e4
+    f5 = (e3 >> 2) - e5
+    f6 = e0 - e6
+    f7 = e7 - (e1 >> 2)
+    return np.stack([f0 + f7, f2 + f5, f4 + f3, f6 + f1,
+                     f6 - f1, f4 - f3, f2 - f5, f0 - f7], axis=-1)
+
+
+def idct8x8(xp, d):
+    """Inverse 8x8 transform on dequantized coefficients d (...,8,8) →
+    residual including the final (x+32)>>6 rounding (spec 8.5.12.3)."""
+    d = np.asarray(d, np.int64)
+    t = _idct8_1d_int(d)                       # horizontal (rows)
+    g = _idct8_1d_int(np.swapaxes(t, -1, -2))  # vertical (cols)
+    g = np.swapaxes(g, -1, -2)
+    return ((g + 32) >> 6).astype(np.int32)
+
+
+def dequant8x8(xp, levels, qp: int):
+    """8x8 dequant (spec 8.5.13.1, flat weight 16): per-position
+    LevelScale8x8 = 16 * normAdjust8x8[qp%6]."""
+    lv = np.asarray(levels, np.int64)
+    ls = 16 * V8x8[qp % 6]
+    qp6 = qp // 6
+    if qp6 >= 6:
+        return ((lv * ls) << (qp6 - 6)).astype(np.int32)
+    return ((lv * ls + (1 << (5 - qp6))) >> (6 - qp6)).astype(np.int32)
+
+
+def _fwd8_basis() -> np.ndarray:
+    """64x64 forward map derived from the float inverse basis: the 1D
+    inverse (>>1 → /2) is a linear map G; the 2D inverse is G W G^T / 64,
+    so forward W = 64 * G^-1 r G^-T.  Returns G^-1 (float64, 8x8)."""
+    G = np.zeros((8, 8))
+    for i in range(8):
+        a = np.zeros(8)
+        a[i] = 1.0
+        a0, a1, a2, a3, a4, a5, a6, a7 = a
+        e0 = a0 + a4
+        e1 = -a3 + a5 - a7 - a7 / 2
+        e2 = a0 - a4
+        e3 = a1 + a7 - a3 - a3 / 2
+        e4 = a2 / 2 - a6
+        e5 = -a1 + a7 + a5 + a5 / 2
+        e6 = a2 + a6 / 2
+        e7 = a3 + a5 + a1 + a1 / 2
+        f0, f1 = e0 + e6, e1 + e7 / 4
+        f2, f3 = e2 + e4, e3 + e5 / 4
+        f4, f5 = e2 - e4, e3 / 4 - e5
+        f6, f7 = e0 - e6, e7 - e1 / 4
+        G[:, i] = [f0 + f7, f2 + f5, f4 + f3, f6 + f1,
+                   f6 - f1, f4 - f3, f2 - f5, f0 - f7]
+    return np.linalg.inv(G)
+
+
+_G8_INV = _fwd8_basis()
+
+
+def fquant8x8(xp, res, qp: int, intra: bool):
+    """Forward 8x8 transform + quantization in one step (encoder side):
+    res (...,8,8) int → levels (...,8,8) int32 such that
+    idct8x8(dequant8x8(levels)) ≈ res."""
+    r = np.asarray(res, np.float64)
+    w = 64.0 * np.einsum("ij,...jk,lk->...il", _G8_INV, r, _G8_INV)
+    step = (16.0 * V8x8[qp % 6].astype(np.float64)) * 2.0 ** (qp // 6 - 6)
+    dz = (1.0 / 3.0) if intra else (1.0 / 6.0)
+    q = np.floor(np.abs(w) / step + dz)
+    return (np.sign(w) * q).astype(np.int32)

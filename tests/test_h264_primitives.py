@@ -267,3 +267,21 @@ def test_mc_halfpel_constant_plane():
         for mvy in range(4):
             out = P.mc_luma_block(rp, 32, 8, 8, 8, 8, mvx, mvy)
             assert np.all(out == 77), (mvx, mvy)
+
+
+def test_transform8x8_roundtrip():
+    """8x8 forward/quant must be consistent with the spec integer inverse:
+    re-quantizing the reconstruction reproduces the levels (scale match),
+    and reconstruction error stays within ~qstep/2."""
+    from handbrake_tpu.codecs.h264 import transform as T
+    rng = np.random.default_rng(7)
+    for qp in (20, 28, 36, 44):
+        res = rng.integers(-96, 96, (40, 8, 8)).astype(np.int32)
+        lv = T.fquant8x8(np, res, qp, intra=False)
+        rec = T.idct8x8(np, T.dequant8x8(np, lv, qp))
+        assert np.array_equal(T.fquant8x8(np, rec, qp, intra=False), lv)
+        qstep = 0.625 * 2 ** (qp / 6.0)
+        assert float(np.abs(rec - res).mean()) < 0.45 * qstep
+    # scan is a permutation; DC class table matches Table 8-15 col 0
+    assert sorted(T.ZIG8.tolist()) == list(range(64))
+    assert T.V8x8[0, 0, 0] == 20 and T.V8x8[5, 0, 0] == 36
