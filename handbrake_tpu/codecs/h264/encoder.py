@@ -70,6 +70,9 @@ class EncoderConfig:
     # mode decision). Opt-in: it routes I slices through the python
     # walker instead of the native I16 stage, trading speed for RD.
     intra4x4: bool = False
+    # 8x8 transform for inter MBs (High profile, spec 7.3.5
+    # transform_size_8x8_flag). Host walker only: forces backend="host".
+    transform8x8: bool = False
 
 
 class MBCtx:
@@ -287,6 +290,43 @@ def encode_inter_luma(src16, pred16, qp):
     return lv, recon, cbp, nnz
 
 
+def encode_inter_luma8(src16, pred16, qp):
+    """8x8-transform inter residual (High profile, spec 8.5.12.3/8.5.13.1).
+    Returns (subs(16,16) CAVLC sub-streams in MB z-order, recon16,
+    cbp_luma 4bit, nnz(4,4) per 4x4 cell raster-within-MB).
+
+    CAVLC carries each 8x8 quadrant as four interleaved 16-coeff
+    sub-streams (sub-stream j takes scan positions 4i+j of the 8x8 zigzag;
+    hbdec264.cpp parse_residual_cavlc `coeff8[quad][4*i + (k&3)]`)."""
+    res = src16.astype(np.int32) - pred16
+    quads = np.stack([res[(q // 2) * 8:(q // 2) * 8 + 8,
+                          (q % 2) * 8:(q % 2) * 8 + 8] for q in range(4)])
+    lv8 = T.fquant8x8(np, quads, qp, intra=False)
+    cbp = 0
+    for q in range(4):
+        if np.any(lv8[q]):
+            cbp |= 1 << q
+        else:
+            lv8[q] = 0
+    rq = T.idct8x8(np, T.dequant8x8(np, lv8, qp))
+    recon = pred16.astype(np.int32).copy()
+    for q in range(4):
+        if (cbp >> q) & 1:
+            y0, x0 = (q // 2) * 8, (q % 2) * 8
+            recon[y0:y0 + 8, x0:x0 + 8] = np.clip(
+                recon[y0:y0 + 8, x0:x0 + 8] + rq[q], 0, 255)
+    # sub-streams + per-cell nnz: z-order k within MB, quad = k>>2, j = k&3
+    subs = np.zeros((16, 16), np.int32)
+    nnz = np.zeros(16, np.int32)                 # per raster 4x4 cell
+    for k in range(16):
+        q, j = k >> 2, k & 3
+        scan = lv8[q].ravel()[T.ZIG8]
+        sub = scan[j::4]
+        subs[k] = sub
+        nnz[int(_CODED_ORDER[k])] = int((sub != 0).sum())
+    return subs, recon, cbp, nnz
+
+
 # raster 4x4-block index within MB for coded (zig) order
 _CODED_ORDER = np.array([0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15])
 # _CODED_ORDER[k] = raster index of k-th coded block
@@ -322,6 +362,16 @@ class H264Encoder:
         if cfg.deblock and cfg.backend == "device":
             # loop-filtered references require the host walk for now
             cfg.backend = "host"
+        if cfg.transform8x8:
+            # 8x8 residuals are written by the python walker only
+            cfg.backend = "host"
+            if cfg.cabac:
+                cfg.cabac = False
+            if cfg.deblock:
+                # host loop filter doesn't model the t8 edge rules yet
+                from ...utils.logging import log
+                log("h264: transform8x8 disabled (deblock)")
+                cfg.transform8x8 = False
         # native (C++) serial stage — needed before the CABAC decision
         try:
             from ...native import get_lib
@@ -342,7 +392,8 @@ class H264Encoder:
         w, h = cfg.width, cfg.height
         self.mb_w = (w + 15) // 16
         self.mb_h = (h + 15) // 16
-        self.sps = SPS(profile_idc=77 if cfg.cabac else 66,
+        self.sps = SPS(profile_idc=100 if cfg.transform8x8
+                       else (77 if cfg.cabac else 66),
                        width_mbs=self.mb_w, height_mbs=self.mb_h,
                        crop_right=self.mb_w * 16 - w,
                        crop_bottom=self.mb_h * 16 - h,
@@ -350,7 +401,8 @@ class H264Encoder:
                        vui_timing=(cfg.fps[1], 2 * cfg.fps[0]))
         self.pps = PPS(pic_init_qp=cfg.qp,
                        chroma_qp_index_offset=cfg.chroma_qp_offset,
-                       cabac=cfg.cabac)
+                       cabac=cfg.cabac,
+                       transform_8x8=cfg.transform8x8)
         self.frame_num = 0
         self.idr_pic_id = 0
         self.frame_idx = 0
@@ -880,6 +932,8 @@ class H264Encoder:
             bw.ue(5)                      # I_NxN in P
         else:
             bw.ue(0)
+        if self.cfg.transform8x8:
+            bw.put_bit(0)                 # transform_size_8x8_flag: 4x4
         # prediction modes (prev flag + 3-bit remainder), z-order
         local = {}
         for k in range(16):
@@ -1002,6 +1056,21 @@ class H264Encoder:
         x0, y0 = mbx * 16, mby * 16
         cx0, cy0 = mbx * 8, mby * 8
         lv, recon_y16, cbp_luma, nnz_l = encode_inter_luma(src16, mc_y, qp)
+        t8 = False
+        subs8 = None
+        if self.cfg.transform8x8:
+            # true-recon RDO 4x4 vs 8x8 (same cost model as the i4/i16
+            # decision: SSD + lambda * nnz-proportional rate proxy)
+            subs8, rec8, cbp8, nnz8 = encode_inter_luma8(src16, mc_y, qp)
+            lam2 = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+            s32 = src16.astype(np.int64)
+            j4 = (((s32 - recon_y16) ** 2).sum()
+                  + lam2 * 6.0 * float(np.sum(nnz_l)))
+            j8 = (((s32 - rec8) ** 2).sum()
+                  + lam2 * 6.0 * float(np.sum(nnz8)))
+            if j8 < j4:
+                t8 = True
+                recon_y16, cbp_luma, nnz_l = rec8, cbp8, nnz8
         mcu = P.mc_chroma_block(ref_u, PAD, cx0, cy0, 8, 8, mv[0], mv[1])
         mcv = P.mc_chroma_block(ref_v, PAD, cx0, cy0, 8, 8, mv[0], mv[1])
         udc, uac, urec, u_dc, u_ac, nnz_u = encode_chroma(srcu, mcu, qpc,
@@ -1026,9 +1095,14 @@ class H264Encoder:
         bw.se(mv[0] - pred_mv[0])
         bw.se(mv[1] - pred_mv[1])
         bw.ue(CBP_INTER_INV[cbp])
+        if self.cfg.transform8x8 and (cbp & 15):
+            bw.put_bit(1 if t8 else 0)    # transform_size_8x8_flag (7.3.5)
         if cbp != 0:
             bw.se(0)  # mb_qp_delta
-        if cbp_luma:
+        if cbp_luma and t8:
+            self._write_luma_residual_inter8(bw, ctx, mbx, mby, subs8,
+                                             cbp_luma)
+        elif cbp_luma:
             self._write_luma_residual_inter(bw, ctx, mbx, mby, lv, cbp_luma,
                                             nnz_l)
         else:
@@ -1233,6 +1307,23 @@ class H264Encoder:
                 continue
             nc = ctx.nc_luma(by, bx)
             tc = encode_residual(bw, zigzag(lv[ridx]), nc, 16)
+            ctx.nnz_l[by, bx] = tc
+
+    def _write_luma_residual_inter8(self, bw, ctx, mbx, mby, subs,
+                                    cbp_luma):
+        """8x8-transform luma residual: four interleaved CAVLC sub-streams
+        per coded quadrant, z-order (subs from encode_inter_luma8; decoder
+        mirror hbdec264.cpp parse_residual_cavlc t8x8 branch)."""
+        b0y, b0x = mby * 4, mbx * 4
+        for k in range(16):
+            ridx = int(_CODED_ORDER[k])
+            quad = (ridx // 8) * 2 + (ridx % 4) // 2
+            by, bx = b0y + ridx // 4, b0x + ridx % 4
+            if not (cbp_luma >> quad) & 1:
+                ctx.nnz_l[by, bx] = 0
+                continue
+            nc = ctx.nc_luma(by, bx)
+            tc = encode_residual(bw, subs[k], nc, 16)
             ctx.nnz_l[by, bx] = tc
 
     def _write_chroma_residual(self, bw, ctx, mbx, mby, cbp_chroma,

@@ -44,6 +44,12 @@ class SPS:
         bw.put(0b11000000 if self.profile_idc == 66 else 0, 8)
         bw.put(self.level_idc, 8)
         bw.ue(self.sps_id)
+        if self.profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+            bw.ue(1)        # chroma_format_idc 4:2:0
+            bw.ue(0)        # bit_depth_luma_minus8
+            bw.ue(0)        # bit_depth_chroma_minus8
+            bw.put_bit(0)   # qpprime_y_zero_transform_bypass
+            bw.put_bit(0)   # seq_scaling_matrix_present
         bw.ue(self.log2_max_frame_num - 4)
         bw.ue(self.pic_order_cnt_type)
         if self.pic_order_cnt_type == 0:
@@ -154,6 +160,7 @@ class PPS:
     deblocking_filter_control_present: bool = True
     chroma_qp_index_offset: int = 0
     cabac: bool = False            # entropy_coding_mode_flag
+    transform_8x8: bool = False    # transform_8x8_mode_flag (High)
 
     def write(self) -> bytes:
         bw = BitWriter()
@@ -172,6 +179,11 @@ class PPS:
         bw.put_bit(1 if self.deblocking_filter_control_present else 0)
         bw.put_bit(0)  # constrained_intra_pred
         bw.put_bit(0)  # redundant_pic_cnt_present
+        if self.transform_8x8:
+            # optional trailer (present via more_rbsp_data, spec 7.3.2.2)
+            bw.put_bit(1)  # transform_8x8_mode_flag
+            bw.put_bit(0)  # pic_scaling_matrix_present
+            bw.se(self.chroma_qp_index_offset)  # second_chroma_qp_offset
         bw.rbsp_trailing()
         return bw.get_rbsp()
 

@@ -308,3 +308,46 @@ def test_intra4x4_conformance_and_rd():
             assert np.any(enc._ipred4[:4, :] != 2) or \
                 np.any(enc._ipred4 != enc._ipred4[0, 0])
     assert sizes[True] <= sizes[False] * 1.02, sizes
+
+
+def test_transform8x8_conformance():
+    """8x8 inter transform (cfg.transform8x8, High profile): streams decode
+    bit-exactly to the encoder recon in both our decoder and libavcodec,
+    the flag is actually exercised, and High-profile headers are emitted."""
+    import ffdec
+    from handbrake_tpu.codecs.h264 import encoder as E
+    from handbrake_tpu.codecs.h264.native_decoder import NativeH264Decoder
+    if not ffdec.available():
+        pytest.skip("libavcodec oracle unavailable")
+    n_t8 = [0]
+    orig = E.H264Encoder._write_luma_residual_inter8
+    def counting(self, *a, **k):
+        n_t8[0] += 1
+        return orig(self, *a, **k)
+    E.H264Encoder._write_luma_residual_inter8 = counting
+    try:
+        W, H, n = 96, 64, 4
+        # smooth ramps: the 8x8 basis should win at least somewhere
+        yy, xx = np.mgrid[0:H + 32, 0:W + 32]
+        base = (90 + 70 * np.sin(xx / 33.0) * np.sin(yy / 29.0)).astype(np.uint8)
+        frames = [(np.ascontiguousarray(base[t:t + H, 2 * t:2 * t + W]),
+                   np.full((H // 2, W // 2), 120, np.uint8),
+                   np.full((H // 2, W // 2), 135, np.uint8))
+                  for t in range(n)]
+        enc = E.H264Encoder(E.EncoderConfig(width=W, height=H, qp=28,
+                                            gop=n, transform8x8=True))
+        assert enc.sps.profile_idc == 100
+        stream = b""
+        recons = []
+        for y, u, v in frames:
+            stream += enc.encode_frame(y, u, v)
+            recons.append(enc.recon_y.copy())
+        own = NativeH264Decoder().decode(stream)
+        ff = ffdec.decode_yuv(stream, "h264")
+        assert len(own) == len(ff) == n
+        for r, o, f in zip(recons, own, ff):
+            assert np.array_equal(np.asarray(r, np.uint8), o[0])
+            assert np.array_equal(np.asarray(r, np.uint8), f[0])
+        assert n_t8[0] > 0, "no MB ever chose the 8x8 transform"
+    finally:
+        E.H264Encoder._write_luma_residual_inter8 = orig
