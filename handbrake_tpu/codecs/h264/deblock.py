@@ -141,7 +141,8 @@ def _edge_bs(intra_cur, intra_nb, mb_edge, nnz_a, nnz_b, mv_a, mv_b):
     return 0
 
 
-def deblock_frame(y, u, v, qp, qpc, mb_intra, mvs, nnz_l):
+def deblock_frame(y, u, v, qp, qpc, mb_intra, mvs, nnz_l,
+                  mb_t8x8=None):
     """In-place deblock of one frame.
 
     y/u/v: int32 planes (MB-aligned). qp/qpc: slice QPs. mb_intra:
@@ -150,6 +151,21 @@ def deblock_frame(y, u, v, qp, qpc, mb_intra, mvs, nnz_l):
     """
     mb_h, mb_w = mb_intra.shape
     nnz = nnz_l
+    if mb_t8x8 is not None and mb_t8x8.any():
+        # 8x8-transform MBs: a 4x4 cell counts as coded if ANY cell of the
+        # covering 8x8 block is (spec 8.7.2.1 via hbdec264.cpp block_bs);
+        # fold that into an effective nnz grid so _edge_bs stays uniform
+        nnz = nnz_l.copy()
+        for mby in range(mb_h):
+            for mbx in range(mb_w):
+                if not mb_t8x8[mby, mbx]:
+                    continue
+                for qy in (0, 2):
+                    for qx in (0, 2):
+                        blk = nnz_l[mby * 4 + qy:mby * 4 + qy + 2,
+                                    mbx * 4 + qx:mbx * 4 + qx + 2]
+                        nnz[mby * 4 + qy:mby * 4 + qy + 2,
+                            mbx * 4 + qx:mbx * 4 + qx + 2] =                             1 if blk.any() else 0
     for mby in range(mb_h):
         for mbx in range(mb_w):
             x0, y0 = mbx * 16, mby * 16
@@ -157,10 +173,14 @@ def deblock_frame(y, u, v, qp, qpc, mb_intra, mvs, nnz_l):
             mv_c = mvs[mby, mbx]
 
             # ---- vertical edges (filter across columns) ----
+            cur_t8 = bool(mb_t8x8[mby, mbx]) if mb_t8x8 is not None \
+                else False
             for e in range(4):
                 ex = x0 + 4 * e
                 if ex == 0:
                     continue
+                if (e & 1) and cur_t8:
+                    continue          # no 4x4 luma edge inside 8x8 blocks
                 mb_edge = (e == 0)
                 if mb_edge:
                     nb_i = bool(mb_intra[mby, mbx - 1])
@@ -192,6 +212,8 @@ def deblock_frame(y, u, v, qp, qpc, mb_intra, mvs, nnz_l):
             for e in range(4):
                 ey = y0 + 4 * e
                 if ey == 0:
+                    continue
+                if (e & 1) and cur_t8:
                     continue
                 mb_edge = (e == 0)
                 if mb_edge:

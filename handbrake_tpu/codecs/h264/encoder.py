@@ -85,6 +85,7 @@ class MBCtx:
         self.nnz_cr = np.zeros((mb_h * 2, mb_w * 2), np.int32)
         self.mvs: dict = {}       # (mbx,mby) -> (mvx,mvy)
         self.refs: dict = {}      # (mbx,mby) -> 0 inter | -1 intra
+        self.t8x8 = np.zeros((mb_h, mb_w), bool)
 
     def nc_luma(self, by: int, bx: int) -> int:
         return nc_context(int(self.nnz_l[by, bx - 1]) if bx > 0 else 0,
@@ -367,11 +368,6 @@ class H264Encoder:
             cfg.backend = "host"
             if cfg.cabac:
                 cfg.cabac = False
-            if cfg.deblock:
-                # host loop filter doesn't model the t8 edge rules yet
-                from ...utils.logging import log
-                log("h264: transform8x8 disabled (deblock)")
-                cfg.transform8x8 = False
         # native (C++) serial stage — needed before the CABAC decision
         try:
             from ...native import get_lib
@@ -738,6 +734,7 @@ class H264Encoder:
             mb_intra = np.ones((mb_h, mb_w), bool)
             mvs = np.zeros((mb_h, mb_w, 2), np.int32)
             nnz = np.zeros((mb_h * 4, mb_w * 4), np.int32)
+            t8g = None
         else:
             mb_intra = np.zeros((mb_h, mb_w), bool)
             mvs = np.zeros((mb_h, mb_w, 2), np.int32)
@@ -746,10 +743,11 @@ class H264Encoder:
             for (mbx, mby), mv in ctx.mvs.items():
                 mvs[mby, mbx] = mv
             nnz = ctx.nnz_l
+            t8g = ctx.t8x8
         ry = self.recon_y.astype(np.int32)
         ru = self.recon_u.astype(np.int32)
         rv = self.recon_v.astype(np.int32)
-        deblock_frame(ry, ru, rv, qp, qpc, mb_intra, mvs, nnz)
+        deblock_frame(ry, ru, rv, qp, qpc, mb_intra, mvs, nnz, t8g)
         dt = self.recon_y.dtype
         self.recon_y = ry.astype(dt)
         self.recon_u = ru.astype(dt)
@@ -1071,6 +1069,7 @@ class H264Encoder:
             if j8 < j4:
                 t8 = True
                 recon_y16, cbp_luma, nnz_l = rec8, cbp8, nnz8
+            ctx.t8x8[mby, mbx] = t8 and cbp_luma != 0
         mcu = P.mc_chroma_block(ref_u, PAD, cx0, cy0, 8, 8, mv[0], mv[1])
         mcv = P.mc_chroma_block(ref_v, PAD, cx0, cy0, 8, 8, mv[0], mv[1])
         udc, uac, urec, u_dc, u_ac, nnz_u = encode_chroma(srcu, mcu, qpc,

@@ -351,3 +351,30 @@ def test_transform8x8_conformance():
         assert n_t8[0] > 0, "no MB ever chose the 8x8 transform"
     finally:
         E.H264Encoder._write_luma_residual_inter8 = orig
+
+
+def test_transform8x8_with_deblock_and_i4():
+    """The full CAVLC High toolset together — Intra_4x4 + 8x8 transform +
+    in-loop deblocking — must stay recon-consistent and oracle-exact
+    (the t8 deblock rules: no internal 4x4 luma edges, OR-of-cells bS)."""
+    import ffdec
+    from handbrake_tpu.codecs.h264.native_decoder import NativeH264Decoder
+    if not ffdec.available():
+        pytest.skip("libavcodec oracle unavailable")
+    W, H, n = 96, 64, 4
+    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=30, gop=n,
+                                    transform8x8=True, intra4x4=True,
+                                    deblock=True, search_range=12))
+    stream = b""
+    recons = []
+    for y, u, v in synth_clip(W, H, n, seed=2):
+        stream += enc.encode_frame(y, u, v)
+        recons.append((enc.recon_y.copy(), enc.recon_u.copy(),
+                       enc.recon_v.copy()))
+    own = NativeH264Decoder().decode(stream)
+    ff = ffdec.decode_yuv(stream, "h264")
+    assert len(own) == len(ff) == n
+    for r, o, f in zip(recons, own, ff):
+        for pl in range(3):
+            assert np.array_equal(np.asarray(r[pl], np.uint8), o[pl])
+            assert np.array_equal(np.asarray(r[pl], np.uint8), f[pl])

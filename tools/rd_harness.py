@@ -46,11 +46,11 @@ def make_clip(w, h, n, seed=7):
 def run_h264(frames, w, h, qp, fps):
     from handbrake_tpu.codecs.h264.encoder import EncoderConfig, H264Encoder
     from handbrake_tpu.codecs.h264.native_decoder import NativeH264Decoder
-    # best-RD toolset: Intra_4x4 + in-loop deblocking (x264 enables both
-    # at every preset; see test_h264_codec.py conformance coverage)
+    # best-RD toolset: Intra_4x4 + 8x8 transform + in-loop deblocking
+    # (x264 -medium defaults; see test_h264_codec.py conformance coverage)
     enc = H264Encoder(EncoderConfig(width=w, height=h, qp=qp,
                                     gop=len(frames), intra4x4=True,
-                                    deblock=True))
+                                    transform8x8=True, deblock=True))
     stream = b"".join(enc.encode_frame(*f) for f in frames)
     dec = NativeH264Decoder().decode(stream)
     return stream, dec
