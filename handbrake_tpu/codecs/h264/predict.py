@@ -356,3 +356,142 @@ def intra4_pred(mode: int, top, left, topleft, ha, hb, hc, hd,
                 else:
                     p[y, x] = lf[3]
     return p
+
+
+def intra8_pred(mode: int, top, left, topleft, ha, hb, hc, hd):
+    """8x8 luma intra prediction (spec 8.3.2.2: reference filtering
+    8.3.2.2.1 then 9 modes; decoder mirror hbdec264.cpp intra8x8_pred).
+    top: 16 raw samples (top-right repeated from top[7] when hc False),
+    left: 8 raw samples, topleft scalar. Returns (8,8) int32."""
+    rt = np.zeros(17, np.int64)           # rt[0] = corner, rt[1..16] = top
+    rl = np.zeros(9, np.int64)            # rl[0] = corner, rl[1..8] = left
+    if hb:
+        t = np.asarray(top, np.int64)
+        rt[1:9] = t[:8]
+        rt[9:17] = t[8:16] if hc else t[7]
+    if hd:
+        rt[0] = int(topleft)
+    if ha:
+        rl[1:9] = np.asarray(left, np.int64)
+    rl[0] = rt[0]
+    ft = np.zeros(17, np.int64)
+    fl = np.zeros(9, np.int64)
+    if hd:
+        a = rt[1] if hb else rt[0]
+        l = rl[1] if ha else rt[0]
+        ft[0] = fl[0] = (a + 2 * rt[0] + l + 2) >> 2
+    if hb:
+        ft[1] = ((rt[0] + 2 * rt[1] + rt[2] + 2) >> 2) if hd \
+            else ((3 * rt[1] + rt[2] + 2) >> 2)
+        for x in range(2, 16):
+            ft[x] = (rt[x - 1] + 2 * rt[x] + rt[x + 1] + 2) >> 2
+        ft[16] = (rt[15] + 3 * rt[16] + 2) >> 2
+    if ha:
+        fl[1] = ((rt[0] + 2 * rl[1] + rl[2] + 2) >> 2) if hd \
+            else ((3 * rl[1] + rl[2] + 2) >> 2)
+        for y in range(2, 8):
+            fl[y] = (rl[y - 1] + 2 * rl[y] + rl[y + 1] + 2) >> 2
+        fl[8] = (rl[7] + 3 * rl[8] + 2) >> 2
+
+    def smp(sx, sy):
+        if sy == -1:
+            return int(ft[0]) if sx == -1 else int(ft[1 + sx])
+        return int(fl[1 + sy])
+
+    p = np.zeros((8, 8), np.int64)
+    if mode == 0:                          # vertical
+        p[:] = ft[1:9][None, :]
+    elif mode == 1:                        # horizontal
+        p[:] = fl[1:9][:, None]
+    elif mode == 2:                        # DC
+        s = n = 0
+        if hb:
+            s += int(ft[1:9].sum())
+            n += 8
+        if ha:
+            s += int(fl[1:9].sum())
+            n += 8
+        p[:] = (s + 8) >> 4 if n == 16 else ((s + 4) >> 3 if n == 8
+                                             else 128)
+    elif mode == 3:                        # diagonal down-left
+        for y in range(8):
+            for x in range(8):
+                if x == 7 and y == 7:
+                    p[y, x] = (smp(14, -1) + 3 * smp(15, -1) + 2) >> 2
+                else:
+                    p[y, x] = (smp(x + y, -1) + 2 * smp(x + y + 1, -1)
+                               + smp(x + y + 2, -1) + 2) >> 2
+    elif mode == 4:                        # diagonal down-right
+        for y in range(8):
+            for x in range(8):
+                if x > y:
+                    p[y, x] = (smp(x - y - 2, -1) + 2 * smp(x - y - 1, -1)
+                               + smp(x - y, -1) + 2) >> 2
+                elif x < y:
+                    p[y, x] = (smp(-1, y - x - 2) + 2 * smp(-1, y - x - 1)
+                               + smp(-1, y - x) + 2) >> 2
+                else:
+                    p[y, x] = (smp(0, -1) + 2 * smp(-1, -1)
+                               + smp(-1, 0) + 2) >> 2
+    elif mode == 5:                        # vertical right
+        for y in range(8):
+            for x in range(8):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    p[y, x] = (smp(x - (y >> 1) - 1, -1)
+                               + smp(x - (y >> 1), -1) + 1) >> 1
+                elif z >= 0:
+                    p[y, x] = (smp(x - (y >> 1) - 2, -1)
+                               + 2 * smp(x - (y >> 1) - 1, -1)
+                               + smp(x - (y >> 1), -1) + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (smp(-1, 0) + 2 * smp(-1, -1)
+                               + smp(0, -1) + 2) >> 2
+                else:
+                    p[y, x] = (smp(-1, y - 2 * x - 1)
+                               + 2 * smp(-1, y - 2 * x - 2)
+                               + smp(-1, y - 2 * x - 3) + 2) >> 2
+    elif mode == 6:                        # horizontal down
+        for y in range(8):
+            for x in range(8):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    p[y, x] = (smp(-1, y - (x >> 1) - 1)
+                               + smp(-1, y - (x >> 1)) + 1) >> 1
+                elif z >= 0:
+                    p[y, x] = (smp(-1, y - (x >> 1) - 2)
+                               + 2 * smp(-1, y - (x >> 1) - 1)
+                               + smp(-1, y - (x >> 1)) + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (smp(-1, 0) + 2 * smp(-1, -1)
+                               + smp(0, -1) + 2) >> 2
+                else:
+                    p[y, x] = (smp(x - 2 * y - 1, -1)
+                               + 2 * smp(x - 2 * y - 2, -1)
+                               + smp(x - 2 * y - 3, -1) + 2) >> 2
+    elif mode == 7:                        # vertical left
+        for y in range(8):
+            for x in range(8):
+                if y % 2 == 0:
+                    p[y, x] = (smp(x + (y >> 1), -1)
+                               + smp(x + (y >> 1) + 1, -1) + 1) >> 1
+                else:
+                    p[y, x] = (smp(x + (y >> 1), -1)
+                               + 2 * smp(x + (y >> 1) + 1, -1)
+                               + smp(x + (y >> 1) + 2, -1) + 2) >> 2
+    else:                                  # 8: horizontal up
+        for y in range(8):
+            for x in range(8):
+                z = x + 2 * y
+                if z % 2 == 0 and z < 13:
+                    p[y, x] = (smp(-1, y + (x >> 1))
+                               + smp(-1, y + (x >> 1) + 1) + 1) >> 1
+                elif z < 13:
+                    p[y, x] = (smp(-1, y + (x >> 1))
+                               + 2 * smp(-1, y + (x >> 1) + 1)
+                               + smp(-1, y + (x >> 1) + 2) + 2) >> 2
+                elif z == 13:
+                    p[y, x] = (smp(-1, 6) + 3 * smp(-1, 7) + 2) >> 2
+                else:
+                    p[y, x] = smp(-1, 7)
+    return p.astype(np.int32)
