@@ -55,6 +55,14 @@ class AudioChain:
             from .aac import AACEncoder
             if self.sr_out not in (44100, 48000):
                 self.sr_out = 48000
+            if self.out_channels > 2:
+                # the AAC encoder is stereo-max: downmix here so the
+                # container channel count matches the coded stream
+                from ..utils.logging import log
+                log("audio: AAC output is stereo-max — downmixing %d ch"
+                    % self.out_channels)
+                self.mixdown = "stereo"
+                self.out_channels = 2
             br = float(self.spec.bitrate or 160)
             import math
             quality = int(round(132 - 6 * math.log2(max(br, 32) / 160.0)))

@@ -832,7 +832,11 @@ class H264Encoder:
         if gx < 0 or gy < 0 or gx >= self.mb_w * 4 or gy >= self.mb_h * 4:
             return -1
         v = int(self._ipred4[gy, gx])
-        return v
+        # spec 8.3.1.1: an available neighbour not coded Intra_4x4 (inter /
+        # skip, constrained_intra_pred off) predicts as mode 2 (DC); only
+        # genuinely unavailable (out-of-picture) neighbours force MPM=2
+        # via -1.  Mirrors hbdec264.cpp mpm4 "v < 0 ? 2 : v".
+        return 2 if v < 0 else v
     def _i4_mpm(self, gx, gy, local):
         a = self._i4_mode_at(gx - 1, gy, local)
         b = self._i4_mode_at(gx, gy - 1, local)

@@ -8,7 +8,7 @@ Side-data keys (raw SEI payload bytes, byte-compared through transcode):
   mastering_display — 24-byte mastering_display_colour_volume (SEI 137)
   content_light     — 4-byte content_light_level_info (SEI 144)
   hdr10plus_t35     — user_data_registered_itu_t_t35 payload (SEI 4)
-  dovi_rpu          — raw HEVC NAL-62 payload (Dolby Vision RPU)
+  dovi_rpu          — HEVC NAL-62 RBSP payload (Dolby Vision RPU, unescaped)
 """
 from __future__ import annotations
 
@@ -67,7 +67,10 @@ def extract_hdr_side_data(annexb: bytes, codec: str) -> dict:
         if codec == "hevc":
             ntype = (nal[0] >> 1) & 0x3F
             if ntype == HEVC_NAL_RPU:
-                sd["dovi_rpu"] = bytes(nal[2:])
+                # store the RBSP (unescaped) so nal_unit's re-escape on
+                # emission round-trips; keeping the EBSP here would
+                # double-escape any 00 00 0x run on every transcode hop
+                sd["dovi_rpu"] = _ebsp_to_rbsp(nal[2:])
                 continue
             if ntype != HEVC_NAL_PREFIX_SEI:
                 continue
@@ -111,22 +114,25 @@ def build_sei_rbsp(side_data: dict, include_t35: bool = True) -> bytes:
     return body + b"\x80" if body else b""
 
 
-def hdr_nals(side_data: dict, codec: str) -> bytes:
-    """Annex-B NAL unit(s) carrying the side-data's HDR metadata for
-    prepending to an access unit (empty when nothing to carry)."""
-    out = b""
+def hdr_nals(side_data: dict, codec: str) -> tuple:
+    """→ (pre, post) annex-B NAL bytes carrying the side-data's HDR
+    metadata.  Prefix SEI goes before the access unit; the DoVi RPU NAL
+    is appended after it (Dolby carriage: the RPU describes the access
+    unit it follows), so annex-B consumers associate it correctly."""
+    pre = b""
     rbsp = build_sei_rbsp(side_data)
     if rbsp:
         if codec == "hevc":
             from .hevc.syntax import nal_unit
-            out += nal_unit(HEVC_NAL_PREFIX_SEI, rbsp)
+            pre += nal_unit(HEVC_NAL_PREFIX_SEI, rbsp)
         else:
             from .h264.bits import nal_unit
-            out += nal_unit(0, H264_NAL_SEI, rbsp)
+            pre += nal_unit(0, H264_NAL_SEI, rbsp)
+    post = b""
     if codec == "hevc" and side_data.get("dovi_rpu"):
         from .hevc.syntax import nal_unit
-        out += nal_unit(HEVC_NAL_RPU, side_data["dovi_rpu"])
-    return out
+        post = nal_unit(HEVC_NAL_RPU, side_data["dovi_rpu"])
+    return pre, post
 
 
 # -- mp4 box payloads (ISO 14496-12 mdcv / clli / colr) ---------------------

@@ -94,9 +94,21 @@ def set_anamorphic_size2(src_w: int, src_h: int, src_par: Fraction,
         par = dar * Fraction(h, w)
         return w, h, par.limit_denominator(65535), int(round(w * par))
 
-    # custom
+    # custom — max-dimension clamps apply here too (hb_set_anamorphic_size2
+    # clamps every mode; a queue job with maxWidth/maxHeight must not
+    # produce oversized storage)
     w = _mod_round(ui.width or cw, mod)
     h = _mod_round(ui.height or ch, mod)
+    if ui.max_width and w > ui.max_width:
+        if ui.keep_display_aspect and not (ui.par_num and ui.par_den):
+            h = _mod_round(int(round(h * ui.max_width / w)), mod)
+        w = _mod_down(ui.max_width, mod)
+    if ui.max_height and h > ui.max_height:
+        if ui.keep_display_aspect and not (ui.par_num and ui.par_den):
+            w = _mod_round(int(round(w * ui.max_height / h)), mod)
+            if ui.max_width:
+                w = min(w, _mod_down(ui.max_width, mod))
+        h = _mod_down(ui.max_height, mod)
     if ui.par_num and ui.par_den:
         par = Fraction(ui.par_num, ui.par_den)
     elif ui.keep_display_aspect:

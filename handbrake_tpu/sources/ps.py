@@ -190,6 +190,19 @@ class PSDemuxer:
             ti = TrackInfo(kind=kind, codec=codec)
             self._sid_to_track[key] = len(self.tracks)
             self.tracks.append(ti)
+        # the head scan only covers the first few seconds of a real VOB;
+        # parse the file tail for each stream's final PTS so duration is
+        # the true span (HandBrake's stream.c duration probe does the same)
+        if self.size > (1 << 21):
+            tail_seen = 0
+            for sid, sub, pts, _payload in self._pes_iter(
+                    self.size - (1 << 21)):
+                if pts is not None and (sid, sub) in first_pts:
+                    if pts >= first_pts[(sid, sub)]:
+                        last_pts[(sid, sub)] = pts
+                tail_seen += 1
+                if tail_seen > 40000:
+                    break
         spans = [last_pts[k] - first_pts[k] for k in first_pts
                  if k in last_pts and last_pts[k] >= first_pts[k]]
         self.duration = max(spans) if spans else 0

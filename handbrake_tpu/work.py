@@ -424,9 +424,9 @@ class _EncodeStage(WorkObject):
                              if k in sd})
             emit.update({k: sd[k] for k in ("hdr10plus_t35", "dovi_rpu")
                          if k in sd})
-            pre = hdr_nals(emit, codec)
-            if pre:
-                au = pre + au
+            pre, post = hdr_nals(emit, codec)
+            if pre or post:
+                au = pre + au + post
         self.rc.update(len(au) * 8, qp, is_idr)
         self.stats["frames_out"] += 1
         self.stats["bytes_out"] += len(au)
