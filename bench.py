@@ -1,18 +1,21 @@
 """Headline bench: 1080p H.264 END-TO-END encode throughput on one chip.
 
-Measures the full per-frame cost of H264Encoder in the pipelined
-begin/finish mode: host→device source upload, device analysis (coarse+full
-+quarter-pel ME, MC, transform/quant/recon for every macroblock), the
-compact device→host entropy payload fetch, the native C++ CAVLC walk, and
-NAL packing — i.e. what a transcode job actually pays per frame
-(the reference's encx264.c work loop: one call = one encoded frame).
+Measures the full per-frame cost of H264Encoder in its FLAGSHIP quality
+configuration — device analysis (coarse+full+quarter-pel ME, MC,
+transform/quant/recon for every macroblock) chained with the in-loop
+deblocking wavefront on device, CABAC entropy in the native C++ stage,
+and NAL packing — i.e. what a transcode job actually pays per frame
+(the reference's encx264.c work loop: one call = one encoded frame,
+x264 main-profile toolset: CABAC + deblock).
 
 Baseline 30 fps ≈ x264 medium 1080p single-socket CPU encode (HandBrake
 publishes no absolute numbers — see BASELINE.md).
 
-Note: under the axon tunnel, host↔device bandwidth is ~40 MB/s (vs
-~10 GB/s PCIe on a real TPU host), so the 3.1 MB/frame source upload alone
-caps this bench at ~13 fps; the breakdown fields quantify that split.
+Note: the axon tunnel's host↔device bandwidth/latency fluctuates by
+>10x over time (shared infrastructure; measured 40 MB/s..1.1 GB/s on
+different days), so e2e varies run to run. The breakdown fields and
+device_only_fps (pure on-chip throughput, no host round trips) separate
+engine speed from tunnel weather.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -58,7 +61,8 @@ def main():
     n_warm, n_meas = 4, 24
     frames = make_clip(W, H, n_warm + n_meas + 1)
     enc = H264Encoder(EncoderConfig(width=W, height=H, qp=26, gop=600,
-                                    backend="device"))
+                                    backend="device", deblock=True,
+                                    cabac=True))
     import jax
 
     t_compile0 = time.perf_counter()
@@ -80,8 +84,8 @@ def main():
         td = time.perf_counter()
         if meas:
             t_begin += tb - ta       # host pack + upload + dispatch
-            t_dev += tc - tb         # device analysis + small payload copy
-            t_entropy += td - tc     # payload fetch + native entropy + NAL
+            t_dev += tc - tb         # device analysis+deblock + copy
+            t_entropy += td - tc     # payload fetch + native CABAC + NAL
         total_bytes += len(out)
         if i == n_warm - 1:
             compile_s = time.perf_counter() - t_compile0
@@ -90,9 +94,8 @@ def main():
     dt = (time.perf_counter() - t0) / n_run
     fps = 1.0 / dt
 
-    # upload-bound ceiling: raw host→device bandwidth on this link for one
-    # frame's packed planes (3.1 MB at 1080p).  Use the encoder's MB-padded
-    # layout — analyze_packed's plane split assumes it (1080 → 1088 rows).
+    # tunnel weather: raw host→device bandwidth right now for one frame's
+    # packed planes (3.1 MB at 1080p), measured live — it varies >10x
     pk = np.concatenate([
         enc._pad_to_mb(frames[0][0], 16).ravel(),
         enc._pad_to_mb(frames[0][1], 8).ravel(),
@@ -103,7 +106,8 @@ def main():
         jax.block_until_ready(jax.device_put(pk))
     upload_ms = (time.perf_counter() - tu0) / 4 * 1000
 
-    # device-only ceiling: the analyzer chained on device, no host fetch
+    # device-only ceiling: analysis + in-loop deblock chained on device,
+    # no host fetch — the pure engine speed a direct-attached host sees
     devfps = None
     if enc._analyzer is not None:
         ry, ru, rv = enc.recon_y, enc.recon_u, enc.recon_v
@@ -114,7 +118,7 @@ def main():
         reps = 8
         for _ in range(reps):
             # chain on the luma recon plane (serializes reps on-device);
-            # urec/vrec are per-MB payload layout, so chroma refs repeat
+            # urec/vrec repeat for the chroma refs
             dev = enc._analyzer(pk_dev, dev["recon_y"], ru, rv, 26, 26)
         jax.block_until_ready(dev["packed_small"])
         devfps = reps / (time.perf_counter() - tb0)
@@ -124,6 +128,7 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "toolset": "CABAC+deblock (Main), device analysis+loopfilter",
         "ms_per_frame": round(dt * 1000, 1),
         "breakdown_ms": {
             "upload_dispatch": round(t_begin / n_run * 1000, 1),

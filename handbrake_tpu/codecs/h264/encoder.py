@@ -59,12 +59,14 @@ class EncoderConfig:
     # "host": pure-numpy reference path; "device": batched jax analysis for
     # P frames (encoder_tpu.py) with this host walker doing entropy coding
     backend: str = "host"
-    # in-loop deblocking (spec 8.7). Host backend only for now: the device
-    # recon would need the slope-2 wavefront filter to stay bit-exact.
+    # in-loop deblocking (spec 8.7).  Device backend: the slope-2
+    # wavefront filter (deblock_tpu.py) runs chained after analysis, so
+    # all-inter frames keep the reference chain on device; frames with
+    # intra fallbacks re-filter on host via the native hb264_deblock.
     deblock: bool = False
     # CABAC entropy coding (spec 9.3, Main/High profile). Runs in the
     # native C++ stage (cabac264.h); requires the native lib and the
-    # device analysis path for P frames.
+    # device analysis path for P frames.  Composes with deblock.
     cabac: bool = False
     # Intra_4x4 prediction in the host walker (all 9 modes with per-block
     # mode decision). Opt-in: it routes I slices through the python
@@ -360,9 +362,6 @@ class H264Encoder:
 
     def __init__(self, cfg: EncoderConfig):
         self.cfg = cfg
-        if cfg.deblock and cfg.backend == "device":
-            # loop-filtered references require the host walk for now
-            cfg.backend = "host"
         if cfg.transform8x8:
             # 8x8 residuals are written by the python walker only
             cfg.backend = "host"
@@ -374,12 +373,10 @@ class H264Encoder:
             self._natlib = get_lib()
         except Exception:
             self._natlib = None
-        if cfg.cabac and (self._natlib is None or cfg.deblock):
-            # CABAC lives in the native stage only; with deblock the P
-            # walk is pure-python (host backend) — degrade to CAVLC loudly
+        if cfg.cabac and self._natlib is None:
+            # CABAC lives in the native stage only — degrade to CAVLC loudly
             from ...utils.logging import log
-            log("h264: CABAC unavailable (%s) — using CAVLC" %
-                ("no native lib" if self._natlib is None else "deblock"))
+            log("h264: CABAC unavailable (no native lib) — using CAVLC")
             cfg.cabac = False
         if cfg.cabac and cfg.backend != "device":
             # P-frame CABAC consumes the analysis arrays the device path
@@ -415,7 +412,11 @@ class H264Encoder:
         self._analyzer = None
         if cfg.backend == "device":
             from .encoder_tpu import build_p_analyzer
-            self._analyzer = build_p_analyzer(self.mb_w, self.mb_h)
+            # with cfg.deblock the analyzer chains the wavefront loop
+            # filter (deblock_tpu) so the reference planes never leave
+            # the device on all-inter frames
+            self._analyzer = build_p_analyzer(self.mb_w, self.mb_h,
+                                              deblock=cfg.deblock)
 
     # -- frame-level -------------------------------------------------------
     def headers(self) -> bytes:
@@ -621,9 +622,13 @@ class H264Encoder:
         sv = np.ascontiguousarray(v, np.uint8)
         if n_intra > 0:
             # recon planes pre-filled with the device recon; the walker
-            # patches intra-fallback MBs in place
+            # patches intra-fallback MBs in place.  With deblock the
+            # patch base is the UNFILTERED recon (intra prediction reads
+            # pre-filter samples); the whole frame re-filters below.
+            keys = (("recon_y_nf", "urec_nf", "vrec_nf")
+                    if self.cfg.deblock else ("recon_y", "urec", "vrec"))
             ry, ru, rv = (np.array(x, np.uint8) for x in jax.device_get(
-                (dev["recon_y"], dev["urec"], dev["vrec"])))
+                tuple(dev[k] for k in keys)))
         else:
             ry, ru, rv = self._dummy_recon()
         cap = self.mb_w * self.mb_h * 900 + len(hdr_bw._bytes) + 64
@@ -646,6 +651,9 @@ class H264Encoder:
         udc, vdc = arr("udc", np.int16), arr("vdc", np.int16)
         uac, vac = arr("uac", np.int16), arr("vac", np.int16)
         unnz, vnnz = arr("unnz", np.int8), arr("vnnz", np.int8)
+        n_mb = self.mb_w * self.mb_h
+        out_intra = np.zeros(n_mb, np.int8)
+        out_nnz = np.zeros(n_mb * 16, np.int8)
         n = self._natlib.hb264_encode_p_slice(
             self.mb_w, self.mb_h, qp, qpc, intra_thresh_for_qp(qp),
             int(self.cfg.cabac),
@@ -656,10 +664,18 @@ class H264Encoder:
             i16p(udc), i16p(vdc), i16p(uac), i16p(vac),
             i8p(unnz), i8p(vnnz),
             self._u8p(ry), self._u8p(ru), self._u8p(rv),
-            self._u8p(out), cap)
+            self._u8p(out), cap, i8p(out_intra), i8p(out_nnz))
         if n < 0:
             return None
         if n_intra > 0:
+            if self.cfg.deblock:
+                # re-filter the patched frame with the true intra mask +
+                # final nnz grid (native spec 8.7 filter)
+                mvs32 = np.ascontiguousarray(mv.astype(np.int32).ravel())
+                self._natlib.hb264_deblock(
+                    self._u8p(ry), self._u8p(ru), self._u8p(rv),
+                    self.mb_w, self.mb_h, qp, qpc,
+                    i8p(out_intra), self._i32p(mvs32), i8p(out_nnz), None)
             # intra-fallback MBs were patched into the host recon copy —
             # re-point the reference chain (in-flight analyses re-dispatch)
             self._propagate_refs(dev, (ry, ru, rv))
@@ -744,11 +760,30 @@ class H264Encoder:
                 mvs[mby, mbx] = mv
             nnz = ctx.nnz_l
             t8g = ctx.t8x8
+        dt = self.recon_y.dtype
+        if self._natlib is not None and dt == np.uint8:
+            import ctypes
+            i8p = ctypes.POINTER(ctypes.c_int8)
+            ry = np.ascontiguousarray(self.recon_y, np.uint8)
+            ru = np.ascontiguousarray(self.recon_u, np.uint8)
+            rv = np.ascontiguousarray(self.recon_v, np.uint8)
+            im = np.ascontiguousarray(mb_intra, np.int8).ravel()
+            mv32 = np.ascontiguousarray(mvs, np.int32).ravel()
+            nz = np.ascontiguousarray(nnz != 0, np.int8).ravel()
+            t8a = (np.ascontiguousarray(t8g, np.int8).ravel()
+                   if t8g is not None else None)
+            self._natlib.hb264_deblock(
+                self._u8p(ry), self._u8p(ru), self._u8p(rv),
+                self.mb_w, self.mb_h, qp, qpc,
+                im.ctypes.data_as(i8p), self._i32p(mv32),
+                nz.ctypes.data_as(i8p),
+                t8a.ctypes.data_as(i8p) if t8a is not None else None)
+            self.recon_y, self.recon_u, self.recon_v = ry, ru, rv
+            return
         ry = self.recon_y.astype(np.int32)
         ru = self.recon_u.astype(np.int32)
         rv = self.recon_v.astype(np.int32)
         deblock_frame(ry, ru, rv, qp, qpc, mb_intra, mvs, nnz, t8g)
-        dt = self.recon_y.dtype
         self.recon_y = ry.astype(dt)
         self.recon_u = ru.astype(dt)
         self.recon_v = rv.astype(dt)
@@ -1138,7 +1173,7 @@ class H264Encoder:
         frame_num = self.frame_num if frame_num is None else frame_num
         hdr = SliceHeader(slice_type=SLICE_P, idr=False,
                           frame_num=frame_num, qp=qp,
-                          disable_deblocking=1)
+                          disable_deblocking=0 if self.cfg.deblock else 1)
         n_mb = self.mb_w * self.mb_h
         per = dev["payload"][0].shape[0]
         n_chunks = len(dev["payload"])
@@ -1182,8 +1217,12 @@ class H264Encoder:
                 return payload
         if self.cfg.cabac:
             raise RuntimeError("h264: native CABAC stage failed")
-        # pure-python fallback consumes host copies of everything
-        recs = jax.device_get((dev["recon_y"], dev["urec"], dev["vrec"]))
+        # pure-python fallback consumes host copies of everything (the
+        # UNFILTERED recon when deblock is on: MB copies below must be
+        # pre-filter; the frame re-filters at the end)
+        rkeys = (("recon_y_nf", "urec_nf", "vrec_nf") if self.cfg.deblock
+                 else ("recon_y", "urec", "vrec"))
+        recs = jax.device_get(tuple(dev[k] for k in rkeys))
         devj = dev
         dev = dict(small)
         dev["recon_y"], dev["urec"], dev["vrec"] = recs
@@ -1274,6 +1313,13 @@ class H264Encoder:
         if skip_run > 0:
             bw.ue(skip_run)
         bw.rbsp_trailing()
+        if self.cfg.deblock:
+            sv_rec = (self.recon_y, self.recon_u, self.recon_v)
+            self.recon_y, self.recon_u, self.recon_v = new_y, new_u, new_v
+            self._apply_deblock(qp, qpc, ctx=ctx)
+            new_y, new_u, new_v = (self.recon_y, self.recon_u,
+                                   self.recon_v)
+            self.recon_y, self.recon_u, self.recon_v = sv_rec
         # recon differs from the device planes only at intra-fallback MBs;
         # re-point in-flight analyses that consumed the device recon
         self._propagate_refs(devj, (new_y, new_u, new_v))

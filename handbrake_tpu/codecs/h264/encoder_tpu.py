@@ -278,13 +278,14 @@ def _subpel_preds(A):
 # ---------------------------------------------------------------------------
 # the analyzer
 # ---------------------------------------------------------------------------
-def build_p_analyzer(mb_w: int, mb_h: int, interpret: bool | None = None):
+def build_p_analyzer(mb_w: int, mb_h: int, interpret: bool | None = None,
+                     deblock: bool = False):
     """Returns jitted analyze(src_packed, ref_y,u,v, qp, qpc) → dict.
 
     src_packed is the three source planes concatenated into one flat uint8
     buffer (y | u | v): the host→device link pays per-transfer overhead, so
     the encoder ships one array per frame instead of three."""
-    fn = build_p_analyzer_fn(mb_w, mb_h, interpret)
+    fn = build_p_analyzer_fn(mb_w, mb_h, interpret, deblock=deblock)
     H, W = mb_h * 16, mb_w * 16
     ny, nc = H * W, (H // 2) * (W // 2)
 
@@ -297,17 +298,29 @@ def build_p_analyzer(mb_w: int, mb_h: int, interpret: bool | None = None):
     return jax.jit(analyze_packed)
 
 
-def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None):
+def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None,
+                        deblock: bool = False):
     """Un-jitted analyze fn — vmap/shard_map-composable (see parallel/mesh).
 
     interpret: run the Pallas fetch in interpreter mode (auto: on non-TPU
     backends).
+    deblock: chain the in-loop deblocking wavefront (deblock_tpu) onto the
+    recon so the reference planes handed to the next frame's ME are the
+    spec 8.7 filtered picture.  The unfiltered recon stays available as
+    recon_y_nf/urec_nf/vrec_nf for the host intra-fallback patch path
+    (intra prediction reads pre-filter samples; frames with fallbacks are
+    re-deblocked host-side with the true intra mask).
     """
     del interpret  # pure-XLA path runs identically on all backends
     H, W = mb_h * 16, mb_w * 16
     n_mb = mb_w * mb_h
     r = REFINE_R
     side = 2 * r + 1
+    deblock_fn = None
+    if deblock:
+        from .deblock_tpu import build_deblock_fn
+        # all-inter frames only (bS ≤ 2): the fast no-strong variant
+        deblock_fn = build_deblock_fn(mb_w, mb_h, with_strong=False)
 
     def analyze(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc):
         src_y = src_y.astype(jnp.int32)
@@ -490,7 +503,23 @@ def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None):
                 jnp.int16 if n_mb <= 32767 else jnp.int32)),
         ])
 
+        rec_y_p = plane(recon_y, 16)
+        rec_u_p = plane(urec, 8)
+        rec_v_p = plane(vrec, 8)
+        extra = {}
+        if deblock_fn is not None:
+            dby, dbu, dbv = deblock_fn(
+                rec_y_p, rec_u_p, rec_v_p, mv16,
+                nnz.astype(jnp.int32),
+                jnp.zeros((n_mb,), bool),        # all-inter assumption
+                jnp.zeros((n_mb,), bool),        # no 8x8 transform MBs yet
+                qp, qpc)
+            extra = {"recon_y_nf": rec_y_p, "urec_nf": rec_u_p,
+                     "vrec_nf": rec_v_p}
+            rec_y_p, rec_u_p, rec_v_p = dby, dbu, dbv
+
         return {
+            **extra,
             "packed_small": packed_small,
             "mv": mv16,
             "sad": sad_best.astype(jnp.int32),
@@ -506,11 +535,11 @@ def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None):
             "luma_lv": lv.astype(jnp.int16),
             "luma_nnz": nnz.astype(jnp.int8),
             "cbp_luma": cbp_luma.astype(jnp.int8),
-            "recon_y": plane(recon_y, 16),
+            "recon_y": rec_y_p,
             "udc": udc.astype(jnp.int16), "uac": uac.astype(jnp.int16),
-            "urec": plane(urec, 8), "unnz": unnz.astype(jnp.int8),
+            "urec": rec_u_p, "unnz": unnz.astype(jnp.int8),
             "vdc": vdc.astype(jnp.int16), "vac": vac.astype(jnp.int16),
-            "vrec": plane(vrec, 8), "vnnz": vnnz.astype(jnp.int8),
+            "vrec": rec_v_p, "vnnz": vnnz.astype(jnp.int8),
         }
 
     return analyze

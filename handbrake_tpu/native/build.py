@@ -87,7 +87,11 @@ def _bind(lib):
         u8p, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
         u8p, u8p, u8p,
         i16p, i32p, i16p, i8p, i16p, i16p, i16p, i16p, i8p, i8p,
-        u8p, u8p, u8p, u8p, ctypes.c_int]
+        u8p, u8p, u8p, u8p, ctypes.c_int, i8p, i8p]
+    lib.hb264_deblock.restype = None
+    lib.hb264_deblock.argtypes = [
+        u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, i8p, i32p, i8p, i8p]
     lib.hb264_rbsp_to_ebsp.restype = ctypes.c_int
     lib.hb264_rbsp_to_ebsp.argtypes = [u8p, ctypes.c_int, u8p, ctypes.c_int]
     # MJPEG decoder (hbdecmjpeg.cpp)

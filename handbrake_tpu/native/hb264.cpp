@@ -1124,6 +1124,179 @@ static int pick_i16_mode(Planes& P, int mbx, int mby, int32_t pred_out[256]) {
 // ---------------------------------------------------------------------------
 // Exported API
 // ---------------------------------------------------------------------------
+// ---------------------------------------------------------------------------
+// In-loop deblocking filter (spec 8.7) — encoder-side frame filter.
+// Same semantics as codecs/h264/deblock.py deblock_frame (fixed slice qp,
+// single reference, zero alpha/beta offsets); used for the host walker's
+// loop filter and for re-filtering frames the device path patched with
+// intra-fallback MBs (the all-inter frames deblock on device,
+// codecs/h264/deblock_tpu.py).
+// ---------------------------------------------------------------------------
+static const uint8_t kDbAlpha[52] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28, 32, 36,
+    40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144, 162, 182, 203,
+    226, 255, 255};
+static const uint8_t kDbBeta[52] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11,
+    11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18};
+static const uint8_t kDbTc0[52][3] = {
+    {0,0,0},{0,0,0},{0,0,0},{0,0,0},{0,0,0},{0,0,0},{0,0,0},{0,0,0},
+    {0,0,0},{0,0,0},{0,0,0},{0,0,0},{0,0,0},{0,0,0},{0,0,0},{0,0,0},
+    {0,0,0},{0,0,1},{0,0,1},{0,0,1},{0,0,1},{0,1,1},{0,1,1},{1,1,1},
+    {1,1,1},{1,1,1},{1,1,1},{1,1,2},{1,1,2},{1,1,2},{1,1,2},{1,2,3},
+    {1,2,3},{2,2,3},{2,2,4},{2,3,4},{2,3,4},{3,3,5},{3,4,6},{3,4,6},
+    {4,5,7},{4,5,8},{4,6,9},{5,7,10},{6,8,11},{6,8,13},{7,10,14},
+    {8,11,16},{9,12,18},{10,13,20},{11,15,23},{13,17,25}};
+
+static inline int db_iclip(int v, int lo, int hi) {
+    return v < lo ? lo : (v > hi ? hi : v);
+}
+
+static void db_luma_edge_px(uint8_t* dst, int step, int bs, int idx) {
+    int alpha = kDbAlpha[idx], beta = kDbBeta[idx];
+    int p0 = dst[-step], p1 = dst[-2 * step], p2 = dst[-3 * step],
+        p3 = dst[-4 * step];
+    int q0 = dst[0], q1 = dst[step], q2 = dst[2 * step], q3 = dst[3 * step];
+    if (abs(p0 - q0) >= alpha || abs(p1 - p0) >= beta ||
+        abs(q1 - q0) >= beta)
+        return;
+    int ap = abs(p2 - p0), aq = abs(q2 - q0);
+    if (bs < 4) {
+        int tc0 = kDbTc0[idx][bs - 1];
+        int tc = tc0 + (ap < beta) + (aq < beta);
+        int delta = db_iclip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3,
+                             -tc, tc);
+        dst[-step] = clip255(p0 + delta);
+        dst[0] = clip255(q0 - delta);
+        if (ap < beta)
+            dst[-2 * step] = (uint8_t)(p1 + db_iclip(
+                (p2 + ((p0 + q0 + 1) >> 1) - (p1 << 1)) >> 1, -tc0, tc0));
+        if (aq < beta)
+            dst[step] = (uint8_t)(q1 + db_iclip(
+                (q2 + ((p0 + q0 + 1) >> 1) - (q1 << 1)) >> 1, -tc0, tc0));
+    } else {
+        bool small = abs(p0 - q0) < ((alpha >> 2) + 2);
+        if (small && ap < beta) {
+            dst[-step] = (uint8_t)((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4)
+                                   >> 3);
+            dst[-2 * step] = (uint8_t)((p2 + p1 + p0 + q0 + 2) >> 2);
+            dst[-3 * step] = (uint8_t)((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4)
+                                       >> 3);
+        } else {
+            dst[-step] = (uint8_t)((2 * p1 + p0 + q1 + 2) >> 2);
+        }
+        if (small && aq < beta) {
+            dst[0] = (uint8_t)((q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3);
+            dst[step] = (uint8_t)((q2 + q1 + q0 + p0 + 2) >> 2);
+            dst[2 * step] = (uint8_t)((2 * q3 + 3 * q2 + q1 + q0 + p0 + 4)
+                                      >> 3);
+        } else {
+            dst[0] = (uint8_t)((2 * q1 + q0 + p1 + 2) >> 2);
+        }
+    }
+}
+
+static void db_chroma_edge_px(uint8_t* dst, int step, int bs, int idx) {
+    int alpha = kDbAlpha[idx], beta = kDbBeta[idx];
+    int p0 = dst[-step], p1 = dst[-2 * step];
+    int q0 = dst[0], q1 = dst[step];
+    if (abs(p0 - q0) >= alpha || abs(p1 - p0) >= beta ||
+        abs(q1 - q0) >= beta)
+        return;
+    if (bs < 4) {
+        int tc = kDbTc0[idx][bs - 1] + 1;
+        int delta = db_iclip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3,
+                             -tc, tc);
+        dst[-step] = clip255(p0 + delta);
+        dst[0] = clip255(q0 - delta);
+    } else {
+        dst[-step] = (uint8_t)((2 * p1 + p0 + q1 + 2) >> 2);
+        dst[0] = (uint8_t)((2 * q1 + q0 + p1 + 2) >> 2);
+    }
+}
+
+struct DbCtx {
+    int mb_w, mb_h, gw;
+    const int8_t* mb_intra;
+    const int32_t* mvs;     // (n_mb, 2)
+    const int8_t* nnz;      // effective per-4x4 grid (t8 already folded)
+    const int8_t* t8;       // per MB, may be null
+};
+
+static int db_block_bs(const DbCtx& D, bool mb_edge, int mbp, int mbq,
+                       int gxp, int gyp, int gxq, int gyq) {
+    if (D.mb_intra[mbp] || D.mb_intra[mbq]) return mb_edge ? 4 : 3;
+    if (D.nnz[gyp * D.gw + gxp] || D.nnz[gyq * D.gw + gxq]) return 2;
+    if (abs(D.mvs[mbp * 2] - D.mvs[mbq * 2]) >= 4 ||
+        abs(D.mvs[mbp * 2 + 1] - D.mvs[mbq * 2 + 1]) >= 4)
+        return 1;
+    return 0;
+}
+
+static void db_frame(uint8_t* y, uint8_t* u, uint8_t* v, const DbCtx& D,
+                     int qp, int qpc) {
+    int W = D.mb_w * 16, cs = W / 2;
+    int idx = db_iclip(qp, 0, 51), idxc = db_iclip(qpc, 0, 51);
+    for (int mby = 0; mby < D.mb_h; mby++)
+        for (int mbx = 0; mbx < D.mb_w; mbx++) {
+            int i = mby * D.mb_w + mbx;
+            int x0 = mbx * 16, y0 = mby * 16;
+            bool t8 = D.t8 && D.t8[i];
+            for (int e = 0; e < 4; e++) {       // vertical edges
+                int ex = x0 + 4 * e;
+                if (ex == 0) continue;
+                if ((e & 1) && t8) continue;
+                bool mbe = e == 0;
+                int ni = mbe ? i - 1 : i;
+                for (int k = 0; k < 4; k++) {
+                    int gyp = mby * 4 + k;
+                    int bs = db_block_bs(D, mbe, ni, i, (ex >> 2) - 1, gyp,
+                                         ex >> 2, gyp);
+                    if (!bs) continue;
+                    for (int r = 0; r < 4; r++)
+                        db_luma_edge_px(y + (gyp * 4 + r) * W + ex, 1, bs,
+                                        idx);
+                    if ((e & 1) == 0)
+                        for (int r = 0; r < 2; r++) {
+                            db_chroma_edge_px(
+                                u + (gyp * 2 + r) * cs + (ex >> 1), 1, bs,
+                                idxc);
+                            db_chroma_edge_px(
+                                v + (gyp * 2 + r) * cs + (ex >> 1), 1, bs,
+                                idxc);
+                        }
+                }
+            }
+            for (int e = 0; e < 4; e++) {       // horizontal edges
+                int ey = y0 + 4 * e;
+                if (ey == 0) continue;
+                if ((e & 1) && t8) continue;
+                bool mbe = e == 0;
+                int ni = mbe ? i - D.mb_w : i;
+                for (int k = 0; k < 4; k++) {
+                    int gxp = mbx * 4 + k;
+                    int bs = db_block_bs(D, mbe, ni, i, gxp, (ey >> 2) - 1,
+                                         gxp, ey >> 2);
+                    if (!bs) continue;
+                    for (int c = 0; c < 4; c++)
+                        db_luma_edge_px(y + ey * W + gxp * 4 + c, W, bs,
+                                        idx);
+                    if ((e & 1) == 0)
+                        for (int c = 0; c < 2; c++) {
+                            db_chroma_edge_px(
+                                u + (ey >> 1) * cs + gxp * 2 + c, cs, bs,
+                                idxc);
+                            db_chroma_edge_px(
+                                v + (ey >> 1) * cs + gxp * 2 + c, cs, bs,
+                                idxc);
+                        }
+                }
+            }
+        }
+}
+
 extern "C" {
 
 // Append RBSP of an IDR I slice after the given header bits.
@@ -1191,7 +1364,8 @@ int hb264_encode_p_slice(
     const int16_t* uac_a, const int16_t* vac_a,
     const int8_t* unnz_a, const int8_t* vnnz_a,
     uint8_t* rec_y, uint8_t* rec_u, uint8_t* rec_v,
-    uint8_t* out, int out_cap) {
+    uint8_t* out, int out_cap,
+    int8_t* out_intra, int8_t* out_nnz) {
     BitWriter bw;
     bw.init(out, out_cap);
     if (hdr_nbytes > out_cap) return -1;
@@ -1329,7 +1503,50 @@ int hb264_encode_p_slice(
         bw.rbsp_trailing();
     }
     if (bw.overflow) return -1;
+    // per-MB coding state for the caller's loop filter (deblock bS needs
+    // the final intra mask and nnz grid, incl. intra-fallback MBs)
+    if (out_intra)
+        for (int i = 0; i < n_mb; i++)
+            out_intra[i] = (int8_t)(ctx.ref[i] == -1);
+    if (out_nnz) {
+        int G = mb_h * 4 * mb_w * 4;
+        for (int g = 0; g < G; g++)
+            out_nnz[g] = (int8_t)(ctx.nnz_l[g] != 0);
+    }
     return bw.pos;
+}
+
+// In-loop deblock of one frame in place (spec 8.7; encoder-side fixed-qp
+// variant).  mb_intra: n_mb int8; mvs: n_mb*2 int32 qpel; nnz: per-4x4
+// grid (mb_h*4 x mb_w*4) int8 — pass the RAW grid; 8x8-transform folding
+// is applied here when t8 is non-null.
+void hb264_deblock(uint8_t* y, uint8_t* u, uint8_t* v,
+                   int mb_w, int mb_h, int qp, int qpc,
+                   const int8_t* mb_intra, const int32_t* mvs,
+                   const int8_t* nnz, const int8_t* t8) {
+    DbCtx D;
+    D.mb_w = mb_w; D.mb_h = mb_h; D.gw = mb_w * 4;
+    D.mb_intra = mb_intra; D.mvs = mvs; D.t8 = t8;
+    std::vector<int8_t> eff;
+    if (t8) {
+        eff.assign(nnz, nnz + mb_h * 4 * mb_w * 4);
+        for (int i = 0; i < mb_w * mb_h; i++) {
+            if (!t8[i]) continue;
+            int mbx = i % mb_w, mby = i / mb_w;
+            for (int qy = 0; qy < 4; qy += 2)
+                for (int qx = 0; qx < 4; qx += 2) {
+                    int g0 = (mby * 4 + qy) * D.gw + mbx * 4 + qx;
+                    int any = eff[g0] || eff[g0 + 1] || eff[g0 + D.gw] ||
+                              eff[g0 + D.gw + 1];
+                    eff[g0] = eff[g0 + 1] = eff[g0 + D.gw] =
+                        eff[g0 + D.gw + 1] = (int8_t)any;
+                }
+        }
+        D.nnz = eff.data();
+    } else {
+        D.nnz = nnz;
+    }
+    db_frame(y, u, v, D, qp, qpc);
 }
 
 // Emulation prevention: RBSP → EBSP. Returns output length or -1 on overflow.

@@ -378,3 +378,90 @@ def test_transform8x8_with_deblock_and_i4():
         for pl in range(3):
             assert np.array_equal(np.asarray(r[pl], np.uint8), o[pl])
             assert np.array_equal(np.asarray(r[pl], np.uint8), f[pl])
+
+
+@pytest.mark.parametrize("cabac", [False, True])
+def test_device_deblock_conformance(cabac):
+    """Device path with in-loop deblock (deblock_tpu wavefront chained in
+    the analyzer) + CABAC: encoder recon must equal the true decode for
+    every frame, including scene cuts that force the host intra-fallback
+    patch + native re-deblock path (encx264.c b_deblocking_filter role)."""
+    import jax
+    import ffdec
+    if not ffdec.available():
+        pytest.skip("libavcodec oracle unavailable")
+    rng = np.random.default_rng(3)
+    W, H, n = 96, 64, 8
+    yy, xx = np.mgrid[0:H, 0:W]
+    frames = []
+    for t in range(n):
+        if t in (3, 6):                  # scene cuts -> intra fallbacks
+            y = np.clip(rng.normal(128, 60, (H, W)), 0, 255).astype(np.uint8)
+        else:
+            y = (96 + 70 * np.sin((xx + 2 * t) / 9.0)
+                 * np.cos((yy + t) / 7.0)).clip(0, 255).astype(np.uint8)
+        u = np.clip(128 + 40 * np.sin(xx[::2, ::2] / 11.0 + t), 0,
+                    255).astype(np.uint8)
+        v = np.clip(128 + 40 * np.cos(yy[::2, ::2] / 13.0 + t), 0,
+                    255).astype(np.uint8)
+        frames.append((y, u, v))
+    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=30, gop=n,
+                                    backend="device", deblock=True,
+                                    cabac=cabac))
+    if cabac and not enc.cfg.cabac:
+        pytest.skip("native CABAC stage unavailable")
+    stream = b""
+    recons = []
+    for f in frames:
+        stream += enc.encode_frame(*f)
+        recons.append(tuple(np.array(jax.device_get(p), np.uint8) for p in
+                            (enc.recon_y, enc.recon_u, enc.recon_v)))
+    dec = ffdec.decode_yuv(stream, "h264")
+    assert len(dec) == n
+    for i, (r, f) in enumerate(zip(recons, dec)):
+        for pi in range(3):
+            assert np.array_equal(r[pi], f[pi]), (i, pi)
+    # deblock was actually signalled on
+    from handbrake_tpu.codecs.h264.native_decoder import NativeH264Decoder
+    ours = NativeH264Decoder().decode(stream)
+    assert all(np.array_equal(np.asarray(a[0]), f[0])
+               for a, f in zip(ours, dec))
+
+
+def test_device_deblock_pipelined_scene_cut():
+    """begin/finish pipelining across an intra-fallback frame: the redo
+    machinery must re-dispatch in-flight analyses against the corrected
+    (host re-deblocked) reference."""
+    import jax
+    import ffdec
+    if not ffdec.available():
+        pytest.skip("libavcodec oracle unavailable")
+    rng = np.random.default_rng(5)
+    W, H, n = 96, 64, 7
+    yy, xx = np.mgrid[0:H, 0:W]
+    frames = []
+    for t in range(n):
+        if t == 3:
+            y = np.clip(rng.normal(120, 55, (H, W)), 0, 255).astype(np.uint8)
+        else:
+            y = (90 + 70 * np.sin((xx + 3 * t) / 8.0)
+                 * np.cos((yy + 2 * t) / 6.0)).clip(0, 255).astype(np.uint8)
+        u = np.full((H // 2, W // 2), 105, np.uint8)
+        v = np.full((H // 2, W // 2), 150, np.uint8)
+        frames.append((y, u, v))
+    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=31, gop=n,
+                                    backend="device", deblock=True,
+                                    cabac=True))
+    pend = []
+    stream = b""
+    for f in frames:
+        pend.append(enc.begin_frame(*f))
+        if len(pend) >= 2:
+            stream += enc.finish_frame(pend.pop(0))
+    while pend:
+        stream += enc.finish_frame(pend.pop(0))
+    dec = ffdec.decode_yuv(stream, "h264")
+    assert len(dec) == n
+    # final recon chain must equal the final decoded frame (no drift)
+    assert np.array_equal(np.array(jax.device_get(enc.recon_y), np.uint8),
+                          dec[-1][0])

@@ -285,3 +285,97 @@ def test_transform8x8_roundtrip():
     # scan is a permutation; DC class table matches Table 8-15 col 0
     assert sorted(T.ZIG8.tolist()) == list(range(64))
     assert T.V8x8[0, 0, 0] == 20 and T.V8x8[5, 0, 0] == 36
+
+
+# ---------------------------------------------------------------------------
+# In-loop deblocking: device wavefront + native C++ vs the Python reference
+# ---------------------------------------------------------------------------
+def _deblock_case(seed, mb_w, mb_h, qp, p_intra):
+    rng = np.random.default_rng(seed)
+    H, W = mb_h * 16, mb_w * 16
+    n_mb = mb_w * mb_h
+    y = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    u = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
+    v = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
+    # smooth half the frame so the |p0-q0|<alpha conditions trigger
+    y[:H // 2] = (y[:H // 2] // 8) + 100
+    u //= 2
+    v //= 2
+    mv = rng.integers(-20, 20, (n_mb, 2)).astype(np.int32)
+    nnz = rng.integers(0, 3, (n_mb, 16)).astype(np.int32)
+    nnz[rng.random((n_mb, 16)) < 0.6] = 0
+    t8 = rng.random(n_mb) < 0.3
+    intra = rng.random(n_mb) < p_intra
+    nnz = np.where(intra[:, None], 0, nnz)
+    t8 = t8 & ~intra
+    return y, u, v, mv, nnz, intra, t8
+
+
+def _deblock_python(y, u, v, mv, nnz, intra, t8, qp, qpc, mb_w, mb_h):
+    from handbrake_tpu.codecs.h264.deblock import deblock_frame
+    ry = y.astype(np.int32).copy()
+    ru = u.astype(np.int32).copy()
+    rv = v.astype(np.int32).copy()
+    deblock_frame(ry, ru, rv, qp, qpc, intra.reshape(mb_h, mb_w),
+                  mv.reshape(mb_h, mb_w, 2).copy(),
+                  nnz.reshape(mb_h, mb_w, 4, 4).transpose(0, 2, 1, 3)
+                  .reshape(mb_h * 4, mb_w * 4),
+                  t8.reshape(mb_h, mb_w))
+    return ry.astype(np.uint8), ru.astype(np.uint8), rv.astype(np.uint8)
+
+
+@pytest.mark.parametrize("mb_w,mb_h,qp,p_intra",
+                         [(6, 4, 30, 0.0), (5, 3, 40, 0.0),
+                          (8, 2, 24, 0.0), (3, 7, 36, 0.2), (1, 1, 30, 0.3)])
+def test_deblock_device_wavefront_bitexact(mb_w, mb_h, qp, p_intra):
+    """deblock_tpu's slope-2 wavefront scan == the spec-order Python
+    reference, bit-exact (incl. 8x8-transform nnz folding and intra bS)."""
+    import jax
+    import jax.numpy as jnp
+    from handbrake_tpu.codecs.h264.deblock_tpu import build_deblock_fn
+    qpc = max(0, qp - 3)
+    y, u, v, mv, nnz, intra, t8 = _deblock_case(qp * 7 + mb_w, mb_w, mb_h,
+                                                qp, p_intra)
+    ry, ru, rv = _deblock_python(y, u, v, mv, nnz, intra, t8, qp, qpc,
+                                 mb_w, mb_h)
+    fn = jax.jit(build_deblock_fn(mb_w, mb_h))
+    dy, du, dv = fn(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                    jnp.asarray(mv), jnp.asarray(nnz), jnp.asarray(intra),
+                    jnp.asarray(t8), qp, qpc)
+    assert np.array_equal(np.asarray(dy), ry)
+    assert np.array_equal(np.asarray(du), ru)
+    assert np.array_equal(np.asarray(dv), rv)
+
+
+@pytest.mark.parametrize("mb_w,mb_h,qp,p_intra",
+                         [(6, 4, 30, 0.0), (4, 3, 38, 0.25),
+                          (7, 5, 26, 0.5)])
+def test_deblock_native_bitexact(mb_w, mb_h, qp, p_intra):
+    """native hb264_deblock == the Python reference (the host re-filter
+    path for intra-fallback frames and the host walker's loop filter)."""
+    import ctypes
+    from handbrake_tpu.native import get_lib
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native lib unavailable")
+    qpc = max(0, qp - 2)
+    y, u, v, mv, nnz, intra, t8 = _deblock_case(qp + mb_h, mb_w, mb_h,
+                                                qp, p_intra)
+    ry, ru, rv = _deblock_python(y, u, v, mv, nnz, intra, t8, qp, qpc,
+                                 mb_w, mb_h)
+    ny, nu, nv = (np.ascontiguousarray(p) for p in (y, u, v))
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    grid = (nnz.reshape(mb_h, mb_w, 4, 4).transpose(0, 2, 1, 3)
+            .reshape(-1) != 0).astype(np.int8)
+    im = intra.astype(np.int8)
+    t8a = t8.astype(np.int8)
+    mv32 = np.ascontiguousarray(mv.ravel(), np.int32)
+    lib.hb264_deblock(ny.ctypes.data_as(u8p), nu.ctypes.data_as(u8p),
+                      nv.ctypes.data_as(u8p), mb_w, mb_h, qp, qpc,
+                      im.ctypes.data_as(i8p), mv32.ctypes.data_as(i32p),
+                      grid.ctypes.data_as(i8p), t8a.ctypes.data_as(i8p))
+    assert np.array_equal(ny, ry)
+    assert np.array_equal(nu, ru)
+    assert np.array_equal(nv, rv)
