@@ -158,7 +158,7 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
     a_sync = {}
     for si, _spec in audio_sel:
         ti = src.tracks[si]
-        pcm = ti.codec in ("pcm_s16le", "lpcm", "flac")
+        pcm = ti.codec in ("pcm_s16le", "lpcm", "flac", "aac")
         a_sync[si] = sync.add_stream(
             "audio", sid=si,
             sample_rate=ti.sample_rate if pcm else None,
@@ -595,6 +595,78 @@ class _CopyAudioDecoder:
         return [buf]
 
 
+class _AacPacketDecoder:
+    """AAC-LC decode (audio/aacdec.py, decavcodec.c:367 role): one
+    container packet = one access unit (mp4/mkv, ASC in extradata) or an
+    ADTS byte stream (TS).  The 1024-sample filterbank delay is absorbed
+    by dropping the first output frame and carrying each output on the
+    previous packet's timestamp."""
+
+    def __init__(self, ti):
+        import collections
+        from .audio.aacdec import AACDecoder
+        self.dec = AACDecoder(ti.extradata or None)
+        self.ti = ti
+        self._pend = b""
+        self._adts = None
+        self._pts_q = collections.deque()
+        self._primed = False
+
+    def feed(self, buf: Buffer) -> list:
+        if buf.data is None:
+            return []
+        data = bytes(buf.data)
+        if self._adts is None:
+            self._adts = (len(data) >= 2 and data[0] == 0xFF
+                          and (data[1] & 0xF0) == 0xF0)
+        if self._adts:
+            self._pend += data
+            frames = []
+            while True:
+                h = self.dec.parse_adts_header(self._pend)
+                if h is None:
+                    i = self._pend.find(b"\xff", 1)   # resync on garbage
+                    if i < 0:
+                        self._pend = self._pend[-1:] \
+                            if self._pend else b""
+                        break
+                    self._pend = self._pend[i:]
+                    continue
+                if len(self._pend) < h[1]:
+                    break
+                frames.append(self._pend[:h[1]])
+                self._pend = self._pend[h[1]:]
+        else:
+            frames = [data]
+        outs = []
+        for k, fr in enumerate(frames):
+            try:
+                pcm = self.dec.decode_frame(fr)
+            except Exception as e:  # noqa: BLE001 — corrupt AU: skip
+                log("aac decode error: %s" % e)
+                continue
+            dur = int(round(pcm.shape[0] * 90000 /
+                            max(1, self.dec.sample_rate)))
+            # AU k of an ADTS burst starts k frame-durations after the
+            # packet pts; mp4/mkv deliver one AU per packet (k = 0)
+            self._pts_q.append((buf.pts + k * dur)
+                               if buf.pts is not None else None)
+            if not self._primed:
+                # drop the filterbank priming frame; each later output
+                # carries the PREVIOUS AU's pts (1024-sample delay)
+                self._primed = True
+                continue
+            pts = self._pts_q.popleft()
+            out = Buffer(track_kind="audio").copy_props(buf)
+            out.pts = pts
+            out.duration = dur
+            out.stop = (pts + dur) if pts is not None else None
+            out.planes = [pcm]
+            out.data = None
+            outs.append(out)
+        return outs
+
+
 class _FlacPacketDecoder:
     """Streaming FLAC decode: one container packet = one FLAC frame
     (decavcodec.c audio personality role for FLAC inputs)."""
@@ -626,6 +698,11 @@ def _make_audio_decoder(ti):
         return _PcmDecoder(ti)
     if ti.codec == "flac":
         return _FlacPacketDecoder(ti)
+    if ti.codec == "aac":
+        try:
+            return _AacPacketDecoder(ti)
+        except Exception as e:  # noqa: BLE001 — unsupported profile/rate
+            log("aac: decode unavailable (%s) — passthrough only" % e)
     return _CopyAudioDecoder()
 
 

@@ -294,3 +294,173 @@ def test_aac_chain_and_work(tmp_path):
             assert out.shape[0] >= 9600
     except Exception:
         pytest.skip("oracle unavailable for decode check")
+
+
+# ---------------------------------------------------------------------------
+# AAC-LC decoder (audio/aacdec.py) — decavcodec.c audio personality role
+# ---------------------------------------------------------------------------
+import ffaudio  # noqa: E402
+
+
+def _aac_probe():
+    """Locate ffaudio's AVFrame offsets with a known-good stream."""
+    from handbrake_tpu.audio.aac import AACEncoder
+    t0 = np.arange(2048) / 48000
+    pe = AACEncoder(48000, 2, quality=120)
+    pk = pe.encode(np.stack([np.sin(2 * np.pi * 440 * t0)] * 2,
+                            1).astype(np.float32) * 0.3) + pe.flush()
+    ffaudio.FFAudioDecoder("aac").decode_packets(
+        [ffaudio.adts_wrap([p], sample_rate=48000, channels=2)
+         for p in pk])
+
+
+def _ff_aac_encoder(sr, ch, bitrate, opts=()):
+    """libavcodec native AAC encoder with priv options set pre-open."""
+    import ctypes as C
+    a = ffaudio._a()
+    u = ffaudio._u()
+    orig = a.avcodec_open2
+
+    class Hook:
+        def __call__(self, ctx, codec, o):
+            for k, v in opts:
+                u.av_opt_set(ctx, k, v, 1)
+            return orig(ctx, codec, o)
+
+    a.avcodec_open2 = Hook()
+    try:
+        return ffaudio.FFAudioEncoder("aac", sample_rate=sr, channels=ch,
+                                      bit_rate=bitrate)
+    finally:
+        a.avcodec_open2 = orig
+
+
+def test_aac_decoder_conformance_vs_libavcodec():
+    """Decode libavcodec's native AAC encoder output (short windows,
+    window transitions, M/S, intensity stereo, every codebook) to within
+    float tolerance of libavcodec's own decoder.  PNS is disabled in the
+    encoder: noise substitution is decoder-random by design."""
+    if not ffaudio.available():
+        pytest.skip("libavcodec oracle unavailable")
+    from handbrake_tpu.audio.aacdec import AACDecoder
+    _aac_probe()
+    sr = 48000
+    rng = np.random.default_rng(1)
+    t = np.arange(2 * sr) / sr
+    pcm = 0.3 * np.sin(2 * np.pi * 440 * t) \
+        + 0.1 * np.sin(2 * np.pi * 3000 * t + 0.2) \
+        + 0.02 * rng.standard_normal(len(t))
+    for click in range(8):
+        i = int((0.11 + 0.22 * click) * sr)
+        pcm[i:i + 200] += 0.5 * np.hanning(200)
+    st = np.clip(np.stack([pcm, 0.8 * pcm
+                           + 0.1 * np.sin(2 * np.pi * 770 * t)], 1),
+                 -0.99, 0.99).astype(np.float32)
+    for bitrate in (192000, 96000):
+        enc = _ff_aac_encoder(sr, 2, bitrate, [(b"aac_pns", b"0")])
+        pkts = enc.encode(st)
+        adts = [ffaudio.adts_wrap([p], sample_rate=sr, channels=2)
+                for p in pkts]
+        ff = np.asarray(ffaudio.FFAudioDecoder("aac")
+                        .decode_packets(adts), np.float64)
+        d = AACDecoder(None)
+        ours = np.concatenate([d.decode_frame(p) for p in adts],
+                              0).astype(np.float64)
+        n = min(len(ff), len(ours))
+        a, b = ours[1024:n], ff[1024:n]
+        rel = np.sqrt(((a - b) ** 2).mean()) \
+            / (np.sqrt((b ** 2).mean()) + 1e-12)
+        assert rel < 1e-5, (bitrate, rel)
+
+
+def test_aac_decoder_mono_441():
+    if not ffaudio.available():
+        pytest.skip("libavcodec oracle unavailable")
+    from handbrake_tpu.audio.aacdec import AACDecoder
+    _aac_probe()
+    sr = 44100
+    t = np.arange(sr) / sr
+    pcm = np.clip(0.4 * np.sin(2 * np.pi * 523 * t)
+                  + 0.2 * np.sign(np.sin(2 * np.pi * 3 * t)), -0.99,
+                  0.99).astype(np.float32)[:, None]
+    enc = _ff_aac_encoder(sr, 1, 80000, [(b"aac_pns", b"0")])
+    pkts = enc.encode(pcm)
+    adts = [ffaudio.adts_wrap([p], sample_rate=sr, channels=1)
+            for p in pkts]
+    ff = np.asarray(ffaudio.FFAudioDecoder("aac").decode_packets(adts),
+                    np.float64)
+    d = AACDecoder(None)
+    ours = np.concatenate([d.decode_frame(p) for p in adts],
+                          0).astype(np.float64)
+    n = min(len(ff), len(ours))
+    rel = np.sqrt(((ours[1024:n, :1] - ff[1024:n, :1]) ** 2).mean()) \
+        / (np.sqrt((ff[1024:n] ** 2).mean()) + 1e-12)
+    assert rel < 1e-5, rel
+
+
+def test_aac_decoder_tns_synthetic():
+    """TNS inverse filtering: hand-built SCE with a TNS filter, decoded
+    by us and libavcodec — the intricate tns_decode_coef conversion and
+    the all-pole band filter must agree."""
+    if not ffaudio.available():
+        pytest.skip("libavcodec oracle unavailable")
+    from handbrake_tpu.audio.aac import AACEncoder
+    from handbrake_tpu.audio.aacdec import AACDecoder
+    from handbrake_tpu.codecs.h264.bits import BitWriter
+    _aac_probe()
+    rng = np.random.default_rng(3)
+    enc = AACEncoder(48000, 1, quality=110)
+    max_sfb = enc.max_sfb
+    swb = enc.swb
+    q = rng.integers(-12, 13, 1024)
+    aus = []
+    for coef_res, direction, compress, order in (
+            (0, 0, 0, 3), (1, 0, 0, 7), (1, 1, 0, 12), (0, 0, 1, 4)):
+        bw = BitWriter()
+        bw.put(0, 3)                    # SCE
+        bw.put(0, 4)                    # tag
+        bw.put(110, 8)                  # global_gain
+        bw.put_bit(0)                   # ics_reserved
+        bw.put(0, 2)                    # ONLY_LONG
+        bw.put_bit(0)                   # sine shape
+        bw.put(max_sfb, 6)
+        bw.put_bit(0)                   # predictor
+        ln = max_sfb                    # one cb-11 section
+        bw.put(11, 4)
+        while ln >= 31:
+            bw.put(31, 5)
+            ln -= 31
+        bw.put(ln, 5)
+        for _ in range(max_sfb):
+            enc._sf_delta(bw, 0)
+        bw.put_bit(0)                   # pulse
+        bw.put_bit(1)                   # tns_data_present
+        bw.put(1, 2)                    # n_filt = 1
+        bw.put(coef_res, 1)
+        bw.put(20, 6)                   # length (sfbs)
+        bw.put(order, 5)
+        bw.put(direction, 1)
+        bw.put(compress, 1)
+        cb = coef_res + 3 - compress
+        # low-magnitude reflection coefficients: keep the all-pole filter
+        # well away from instability, where libavcodec's float32 and our
+        # float64 recursions would legitimately diverge
+        for i in range(order):
+            bw.put((1, 2, (1 << cb) - 1, (1 << cb) - 2)[i % 4], cb)
+        bw.put_bit(0)                   # gain control
+        for sfb in range(max_sfb):
+            enc._code_band(bw, q, swb[sfb], swb[sfb + 1])
+        bw.put(7, 3)                    # END
+        bw.put(0, (8 - (bw._nbits % 8)) % 8)
+        aus.append(bw.get_rbsp())
+    adts = [ffaudio.adts_wrap([au], sample_rate=48000, channels=1)
+            for au in aus]
+    ff = np.asarray(ffaudio.FFAudioDecoder("aac").decode_packets(adts),
+                    np.float64)
+    d = AACDecoder(None)
+    ours = np.concatenate([d.decode_frame(p) for p in adts],
+                          0).astype(np.float64)
+    n = min(len(ff), len(ours))
+    rel = np.sqrt(((ours[:n] - ff[:n]) ** 2).mean()) \
+        / (np.sqrt((ff[:n] ** 2).mean()) + 1e-12)
+    assert rel < 1e-6, rel

@@ -2,6 +2,7 @@
 decode → sync → filters → encode → mux, then re-open the output and
 verify structure + content.
 """
+import math
 import os
 
 import numpy as np
@@ -432,3 +433,75 @@ def test_hdr_metadata_end_to_end(tmp_path):
     assert sd_out.get("mastering_display") == mastering
     assert sd_out.get("content_light") == cll
     assert sd_out.get("dovi_rpu") == rpu
+
+
+def test_do_job_aac_to_aac_reencode(tmp_path):
+    """AAC source in mp4 → decode (audio/aacdec.py) → re-encode AAC:
+    HandBrake's default audio operation, previously passthrough-only
+    (decavcodec.c:367 role).  The output AAC must decode (libavcodec) to
+    PCM close to the original tone."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    import ffaudio
+    if not ffaudio.available():
+        pytest.skip("libavcodec oracle unavailable")
+    from handbrake_tpu.audio.aac import AACEncoder
+    from handbrake_tpu.codecs.h264.encoder import EncoderConfig, H264Encoder
+    from handbrake_tpu.job.schema import AudioJobTrack
+    from handbrake_tpu.mux.mp4 import MP4Writer
+    from handbrake_tpu.sources.probe import open_source
+
+    sr = 48000
+    src_path = str(tmp_path / "av_aac.mp4")
+    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=28, gop=6))
+    aenc = AACEncoder(sr, 2, quality=118)
+    w = MP4Writer(src_path)
+    vi = w.add_video_track(codec="h264", width=W, height=H)
+    ai = w.add_audio_track(codec="aac", sample_rate=sr, channels=2,
+                           extradata=aenc.audio_specific_config())
+    base = (np.add.outer(np.arange(H), np.arange(W)) * 3 % 256).astype(
+        np.uint8)
+    n_aud = (N * 3003 * sr // 90000 // 1024 + 2) * 1024
+    t = np.arange(n_aud) / sr
+    tone = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    pcm = np.stack([tone, tone * 0.7], 1)
+    aus = aenc.encode(pcm) + aenc.flush()
+    for i in range(N):
+        y = np.roll(base, i, axis=1)
+        u = np.full((H // 2, W // 2), 110, np.uint8)
+        v = np.full((H // 2, W // 2), 60, np.uint8)
+        w.write_sample(vi, enc.encode_frame(y, u, v), duration=3003,
+                       sync=(i % 6 == 0), annexb=True)
+    for au in aus:
+        w.write_sample(ai, au, duration=1024)
+    w.finalize()
+
+    out = str(tmp_path / "aac_out.mp4")
+    j = Job(path=src_path, file=out, mux="mp4", quality=28.0)
+    j.audio = [AudioJobTrack(track=0, encoder="aac", mixdown="stereo",
+                             bitrate=160)]
+    stats = work.do_job(j)
+    assert not stats.get("error"), stats
+    d = open_source(out)
+    atrk = next(i for i, ti in enumerate(d.tracks) if ti.kind == "audio")
+    assert d.tracks[atrk].codec == "aac"
+    pkts = [d.read_sample(atrk, k).data for k in range(d.n_samples(atrk))]
+    assert len(pkts) > 5
+    adts = [ffaudio.adts_wrap([p], sample_rate=sr, channels=2)
+            for p in pkts]
+    got = np.asarray(ffaudio.FFAudioDecoder("aac").decode_packets(adts),
+                     np.float64)
+    # tone survives the decode→re-encode round trip: correlate vs a 440Hz
+    # reference (phase-free via quadrature projection) over the interior
+    # (both codecs pad/prime the edges)
+    g = got[4096:len(got) - 4096, 0]
+    tt = np.arange(len(g)) / sr
+    c = np.sin(2 * np.pi * 440 * tt)
+    s = np.cos(2 * np.pi * 440 * tt)
+    amp = 2 * math.hypot(float(g @ c) / len(g), float(g @ s) / len(g))
+    assert 0.3 < amp < 0.5, amp
+    resid = g - (2 * float(g @ c) / len(g) * c
+                 + 2 * float(g @ s) / len(g) * s)
+    snr = 10 * np.log10((amp ** 2 / 2) / max(1e-12, float(
+        (resid ** 2).mean())))
+    assert snr > 25, snr

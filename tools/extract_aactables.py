@@ -91,6 +91,80 @@ def extract():
             break
     assert b11_codes, "codebook 11 codes not found"
 
+    # -- spectral codebooks 1..10 -----------------------------------------
+    # aactab.c declares ff_aac_spectral_bits1..11 in order, so the rodata
+    # cluster around codebook 11 holds six 81-entry books (1-6), two
+    # 64-entry (7,8) and two 169-entry (9,10), address-ordered.  Each is
+    # a complete prefix code (Kraft sum 1); codes are nearby uint16.
+    def find_books(length, count, lo, hi):
+        found = []
+        i = lo
+        while i < hi and len(found) < count + 4:
+            w = data[i:i + length]
+            if (all(1 <= b <= 16 for b in w)
+                    and abs(_kraft(w) - 1.0) < 1e-9):
+                if not found or i >= found[-1] + length:
+                    found.append(i)
+                    i += length
+                    continue
+            i += 1
+        return found
+
+    lo, hi = b11_off - (1 << 16), b11_off + (1 << 16)
+    offs81 = find_books(81, 6, lo, hi)
+    offs64 = find_books(64, 2, lo, hi)
+    offs169 = find_books(169, 2, lo, hi)
+    # 81-length windows can false-positive inside the 169/289 books;
+    # drop candidates overlapping a longer book
+    spans = ([(o, o + 169) for o in offs169] + [(b11_off, b11_off + 289)])
+    offs81 = [o for o in offs81
+              if not any(s <= o < e for s, e in spans)][:6]
+    offs64 = [o for o in offs64
+              if not any(s <= o < e or s <= o + 63 < e for s, e in spans)
+              and not any(a <= o < a + 81 for a in offs81)][:2]
+    assert len(offs81) == 6, ("codebooks 1-6", offs81)
+    assert len(offs64) == 2, ("codebooks 7-8", offs64)
+    assert len(offs169) == 2, ("codebooks 9-10", offs169)
+
+    def codes_for(off, n, bits):
+        for o in range(off - (1 << 14), off + (1 << 14), 2):
+            try:
+                codes = struct.unpack_from("<%dH" % n, data, o)
+            except struct.error:
+                continue
+            if _prefix_free(codes, bits):
+                return list(codes)
+        return None
+
+    # identify which physical array is which codebook by normative
+    # structural fingerprints (max code length, length of the all-zero /
+    # centre symbol) — rodata order is not the spec order
+    def fp81(bits):
+        m = max(bits)
+        if m == 11:                  # cb1 vs cb6: centre symbol is 1 bit
+            return 1 if bits[40] == 1 else 6
+        return {9: 2, 16: 3, 12: 4, 13: 5}[m]
+
+    def fp64(bits):
+        return {(12, 1): 7, (10, 5): 8}[(max(bits), bits[0])]
+
+    def fp169(bits):
+        return {(15, 1): 9, (12, 6): 10}[(max(bits), bits[0])]
+
+    books = {}
+    for offs, n, fp in ((offs81, 81, fp81), (offs64, 64, fp64),
+                        (offs169, 169, fp169)):
+        for off in offs:
+            bits = list(data[off:off + n])
+            cb = fp(bits)
+            codes = codes_for(off, n, bits)
+            assert codes, ("codes for cb", cb)
+            books["B%d_BITS" % cb] = bits
+            books["B%d_CODES" % cb] = codes
+    assert sorted(books) == sorted(
+        ["B%d_%s" % (i, s) for i in range(1, 11)
+         for s in ("BITS", "CODES")]), sorted(books)
+
     # -- swb offsets for 44.1/48 kHz long windows -------------------------
     swb48 = None
     for i in range(0, len(data) - 120, 2):
@@ -109,7 +183,7 @@ def extract():
             break
     assert swb48, "swb_offset_1024_48 not found"
     return dict(SF_BITS=sf_bits, SF_CODES=sf_codes, B11_BITS=b11_bits,
-                B11_CODES=b11_codes, SWB_1024_48=swb48)
+                B11_CODES=b11_codes, SWB_1024_48=swb48, **books)
 
 
 _HDR = '''"""AAC spec constant tables (generated — do not edit).
