@@ -216,7 +216,7 @@ class PPS:
 
 @dataclasses.dataclass
 class SliceHeader:
-    slice_type: int = SLICE_I      # SLICE_P / SLICE_I
+    slice_type: int = SLICE_I      # SLICE_P / SLICE_B / SLICE_I
     first_mb: int = 0
     pps_id: int = 0
     frame_num: int = 0
@@ -225,6 +225,11 @@ class SliceHeader:
     qp: int = 26
     disable_deblocking: int = 1     # 0=on 1=off 2=no cross-slice
     num_ref_idx_override: bool = False
+    poc_lsb: int = 0                # pic_order_cnt_lsb (poc type 0)
+    is_ref: bool = True             # nal_ref_idc != 0 → marking present
+    direct_spatial: bool = True     # B: direct_spatial_mv_pred_flag
+    num_ref_l0: int = 1             # active refs (override vs PPS default 1)
+    num_ref_l1: int = 1
 
     def write(self, sps: SPS, pps: PPS) -> BitWriter:
         bw = BitWriter()
@@ -236,15 +241,26 @@ class SliceHeader:
         if self.idr:
             bw.ue(self.idr_pic_id)
         if sps.pic_order_cnt_type == 0:
-            bw.put(0, 12 + 4)
-        if self.slice_type == SLICE_P:
-            bw.put_bit(0)  # num_ref_idx_active_override
+            bw.put(self.poc_lsb & 0xFFFF, 16)
+        if self.slice_type == SLICE_B:
+            bw.put_bit(1 if self.direct_spatial else 0)
+        if self.slice_type in (SLICE_P, SLICE_B):
+            override = (self.num_ref_l0 != 1
+                        or (self.slice_type == SLICE_B
+                            and self.num_ref_l1 != 1))
+            bw.put_bit(1 if override else 0)
+            if override:
+                bw.ue(self.num_ref_l0 - 1)
+                if self.slice_type == SLICE_B:
+                    bw.ue(self.num_ref_l1 - 1)
             bw.put_bit(0)  # ref_pic_list_modification_flag_l0
-        # dec_ref_pic_marking: present because our slices have nal_ref_idc != 0
+            if self.slice_type == SLICE_B:
+                bw.put_bit(0)  # ref_pic_list_modification_flag_l1
+        # dec_ref_pic_marking: only when nal_ref_idc != 0 (spec 7.3.3)
         if self.idr:
             bw.put_bit(0)  # no_output_of_prior_pics
             bw.put_bit(0)  # long_term_reference_flag
-        else:
+        elif self.is_ref:
             bw.put_bit(0)  # adaptive_ref_pic_marking_mode_flag
         if pps.cabac and self.slice_type != SLICE_I:
             bw.ue(0)       # cabac_init_idc

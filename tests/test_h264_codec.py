@@ -465,3 +465,148 @@ def test_device_deblock_pipelined_scene_cut():
     # final recon chain must equal the final decoded frame (no drift)
     assert np.array_equal(np.array(jax.device_get(enc.recon_y), np.uint8),
                           dec[-1][0])
+
+
+def _moving_object_clip(W, H, n, seed=7):
+    """Static textured background + moving object + light noise — the
+    canonical B-frame-friendly content (large skippable area)."""
+    rng = np.random.default_rng(seed)
+    bg = cv2.GaussianBlur(rng.integers(40, 210, (H, W)).astype(np.uint8),
+                          (0, 0), 1.8)
+    obj = cv2.GaussianBlur(rng.integers(0, 255, (24, 24)).astype(np.uint8),
+                           (0, 0), 1.2)
+    frames = []
+    for t in range(n):
+        y = bg.copy().astype(np.int16)
+        ox, oy = 10 + 4 * t, 20 + int(1.5 * t)
+        if ox + 24 < W and oy + 24 < H:
+            y[oy:oy + 24, ox:ox + 24] = obj
+        y = np.clip(y + rng.integers(-2, 3, (H, W)), 0, 255).astype(np.uint8)
+        u = np.full((H // 2, W // 2), 112, np.uint8)
+        v = np.full((H // 2, W // 2), 135, np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def test_bframes_conformance_and_reorder():
+    """IBBP encoding (encoder_b.py): decode order ≠ display order, POC
+    type 0 carries display order, spatial direct + B_Skip/L0/L1/Bi MBs.
+    Both decoders must reproduce the encoder recon bit-exactly, including
+    a mid-stream IDR (gop boundary) and the flush tail."""
+    import ffdec
+    from handbrake_tpu.codecs.h264.encoder_b import H264BEncoder
+    from handbrake_tpu.codecs.h264.native_decoder import NativeH264Decoder
+    if not ffdec.available():
+        pytest.skip("libavcodec oracle unavailable")
+    W, H, n = 96, 64, 13
+    frames = _moving_object_clip(W, H, n)
+    enc = H264BEncoder(EncoderConfig(width=W, height=H, qp=30, gop=8,
+                                     search_range=12), bframes=2, refs=2)
+    order = []
+    stream = b""
+    for f in frames:
+        for d, au in enc.push_frame(*f):
+            order.append(d)
+            stream += au
+    for d, au in enc.flush():
+        order.append(d)
+        stream += au
+    assert sorted(order) == list(range(n))
+    assert order != sorted(order)          # reordering actually happened
+    dec = ffdec.decode_yuv(stream, "h264")
+    assert len(dec) == n
+    for i in range(n):                     # display-order comparison
+        for pi in range(3):
+            assert np.array_equal(
+                np.asarray(enc.recons[i][pi], np.uint8), dec[i][pi]), (i, pi)
+    ours = NativeH264Decoder().decode(stream)
+    assert len(ours) == n
+    for i in range(n):
+        assert np.array_equal(np.asarray(ours[i][0]), dec[i][0]), i
+
+
+def test_bframes_rd_gain():
+    """B=2 must save bits vs the no-B engine at equal qp on
+    skip-friendly content (the point of the feature: VERDICT r3 #3)."""
+    import ffdec
+    from handbrake_tpu.codecs.h264.encoder_b import H264BEncoder
+    if not ffdec.available():
+        pytest.skip("libavcodec oracle unavailable")
+    W, H, n = 160, 96, 25
+    frames = _moving_object_clip(W, H, n)
+    qp = 30
+    e = H264Encoder(EncoderConfig(width=W, height=H, qp=qp, gop=n,
+                                  search_range=16, backend="host"))
+    s_nob = b"".join(e.encode_frame(*f) for f in frames)
+    eb = H264BEncoder(EncoderConfig(width=W, height=H, qp=qp, gop=n,
+                                    search_range=16), bframes=2, refs=2)
+    s_b = b""
+    for f in frames:
+        for _d, au in eb.push_frame(*f):
+            s_b += au
+    for _d, au in eb.flush():
+        s_b += au
+    assert len(s_b) < 0.95 * len(s_nob), (len(s_b), len(s_nob))
+    # and the quality cost stays small (< 0.5 dB luma)
+    def py(dec):
+        return np.mean([10 * np.log10(255 ** 2 / max(1e-9, np.mean(
+            (dec[i][0].astype(np.float64) - frames[i][0]) ** 2)))
+            for i in range(n)])
+    pA = py(ffdec.decode_yuv(s_nob, "h264"))
+    pB = py(ffdec.decode_yuv(s_b, "h264"))
+    assert pA - pB < 0.5, (pA, pB)
+
+
+def test_multiref_p_conformance():
+    """Multi-reference P slices (ref_idx_l0 per MB, 3 refs): both
+    decoders agree; ref_idx > 0 is actually chosen somewhere (flashing
+    background makes the 2-back reference the better match)."""
+    import ffdec
+    from handbrake_tpu.codecs.h264 import encoder_b as EB
+    from handbrake_tpu.codecs.h264.native_decoder import NativeH264Decoder
+    if not ffdec.available():
+        pytest.skip("libavcodec oracle unavailable")
+    W, H, n = 96, 64, 9
+    rng = np.random.default_rng(9)
+    a = cv2.GaussianBlur(rng.integers(30, 220, (H, W)).astype(np.uint8),
+                         (0, 0), 1.5)
+    b = cv2.GaussianBlur(rng.integers(30, 220, (H, W)).astype(np.uint8),
+                         (0, 0), 1.5)
+    frames = []
+    for t in range(n):
+        base = a if t % 2 == 0 else b      # alternating: best ref is 2 back
+        y = np.clip(base.astype(np.int16) + rng.integers(-2, 3, (H, W)),
+                    0, 255).astype(np.uint8)
+        frames.append((y, np.full((H // 2, W // 2), 110, np.uint8),
+                       np.full((H // 2, W // 2), 140, np.uint8)))
+    used_refs = set()
+    orig = EB.H264BEncoder._encode_p_mb
+    def spy(self, bw, ctx, ms, yp, up, vp, ny, nu, nv, pads, nref, mbx,
+            mby, qp, qpc, skip_run, mvout, refout, srs):
+        r = orig(self, bw, ctx, ms, yp, up, vp, ny, nu, nv, pads, nref,
+                 mbx, mby, qp, qpc, skip_run, mvout, refout, srs)
+        if refout[mby, mbx] >= 0:
+            used_refs.add(int(refout[mby, mbx]))
+        return r
+    EB.H264BEncoder._encode_p_mb = spy
+    try:
+        enc = EB.H264BEncoder(EncoderConfig(width=W, height=H, qp=28,
+                                            gop=n, search_range=12),
+                              bframes=0, refs=3)
+        stream = b""
+        for f in frames:
+            for _d, au in enc.push_frame(*f):
+                stream += au
+        for _d, au in enc.flush():
+            stream += au
+    finally:
+        EB.H264BEncoder._encode_p_mb = orig
+    assert 1 in used_refs or 2 in used_refs, used_refs
+    dec = ffdec.decode_yuv(stream, "h264")
+    assert len(dec) == n
+    for i in range(n):
+        assert np.array_equal(np.asarray(enc.recons[i][0], np.uint8),
+                              dec[i][0]), i
+    ours = NativeH264Decoder().decode(stream)
+    for i in range(n):
+        assert np.array_equal(np.asarray(ours[i][0]), dec[i][0]), i

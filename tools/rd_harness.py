@@ -56,6 +56,25 @@ def run_h264(frames, w, h, qp, fps):
     return stream, dec
 
 
+def run_h264_b(frames, w, h, qp, fps):
+    """IBBP GOP with 2 refs (encoder_b.py) — the bitrate-saving GOP
+    structure; decode via the universal native decoder (handles the
+    reorder)."""
+    from handbrake_tpu.codecs.h264.encoder import EncoderConfig
+    from handbrake_tpu.codecs.h264.encoder_b import H264BEncoder
+    from handbrake_tpu.codecs.h264.native_decoder import NativeH264Decoder
+    enc = H264BEncoder(EncoderConfig(width=w, height=h, qp=qp,
+                                     gop=len(frames)), bframes=2, refs=2)
+    stream = b""
+    for f in frames:
+        for _d, au in enc.push_frame(*f):
+            stream += au
+    for _d, au in enc.flush():
+        stream += au
+    dec = NativeH264Decoder().decode(stream)
+    return stream, dec
+
+
 def run_hevc(frames, w, h, qp, fps):
     from handbrake_tpu.codecs.hevc.encoder import EncoderConfig, HEVCEncoder
     from handbrake_tpu.codecs.hevc.decoder import HEVCDecoder
@@ -74,7 +93,8 @@ def run_av1(frames, w, h, qp, fps):
     return stream, dec
 
 
-RUNNERS = {"h264": run_h264, "hevc": run_hevc, "av1": run_av1}
+RUNNERS = {"h264": run_h264, "h264_b": run_h264_b, "hevc": run_hevc,
+           "av1": run_av1}
 
 
 def measure_anchors(frames, w, h, fps=30.0):
@@ -163,7 +183,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--size", default="320x192")
-    ap.add_argument("--codecs", default="h264,hevc,av1")
+    ap.add_argument("--codecs", default="h264,h264_b,hevc,av1")
     ap.add_argument("--qps", default="22,28,34,40")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
