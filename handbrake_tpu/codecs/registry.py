@@ -225,6 +225,47 @@ class RawVideoDecoder(VideoDecoder):
         return [buf] if buf.planes is not None else []
 
 
+class Mpeg2VideoDecoder(VideoDecoder):
+    """MPEG-2 (codecs/mpeg2.py): streaming ES decode with B-frame
+    display-order reorder.  Packet pts attaches to the frames a packet
+    completes; the sync layer's sorted queues restore monotone pts
+    (PES carries presentation times)."""
+
+    def __init__(self, extradata: bytes = b""):
+        from .mpeg2 import Mpeg2Decoder
+        self.dec = Mpeg2Decoder()
+        if extradata:
+            self.dec.feed(bytes(extradata))
+        self._info: dict = {}
+
+    def _wrap(self, frames, buf):
+        out = []
+        for (y, u, v) in frames:
+            fb = Buffer(planes=[y, u, v],
+                        pix_fmt=PIX_FMTS["yuv420p"]).copy_props(buf)
+            fb.data = None
+            out.append(fb)
+        if self.dec.w and not self._info:
+            fr = self.dec.frame_rate
+            self._info = {"width": self.dec.w, "height": self.dec.h,
+                          "pix_fmt": "yuv420p",
+                          "vui_timing": (fr[1], 2 * fr[0]),
+                          "sar": (1, 1)}
+        return out
+
+    def feed(self, buf: Buffer) -> list:
+        if buf.data is None:
+            return []
+        self.dec.feed(bytes(buf.data))
+        return self._wrap(self.dec.get_frames(), buf)
+
+    def flush(self) -> list:
+        return self._wrap(self.dec.flush(), Buffer(track_kind="video"))
+
+    def info(self) -> dict:
+        return dict(self._info)
+
+
 def create_video_decoder(codec: str, extradata: bytes = b"") -> VideoDecoder:
     if codec == "mjpeg":
         return MJPEGVideoDecoder(extradata)
@@ -234,6 +275,8 @@ def create_video_decoder(codec: str, extradata: bytes = b"") -> VideoDecoder:
         return HEVCVideoDecoder(extradata)
     if codec == "av1":
         return AV1VideoDecoder(extradata)
+    if codec in ("mpeg2", "mpeg2video"):
+        return Mpeg2VideoDecoder(extradata)
     if codec == "rawvideo":
         return RawVideoDecoder()
     raise ValueError(f"no decoder for codec {codec!r}")

@@ -347,6 +347,21 @@ class _DecodeSyncStage(WorkObject):
 
     def work(self, buf):
         if buf.is_eof():
+            # drain decoder delay (MPEG-2 B reorder holds the final ref)
+            if hasattr(self.vdec, "flush"):
+                for f in self.vdec.flush():
+                    if f.pts is None:
+                        last = getattr(self, "_last_vpts", None)
+                        dur = f.duration or getattr(self, "_last_vdur",
+                                                    None) or 3003
+                        f.pts = (last + dur) if last is not None else 0
+                        f.duration = dur
+                        f.stop = f.pts + dur
+                        self._last_vpts = f.pts
+                    if self._hdr:
+                        f.side_data.update(self._hdr)
+                    self.sync.queue(self.v_sync, f)
+                    self.stats["frames_in"] += 1
             for idx in range(len(self.sync.streams)):
                 self.sync.set_eof(idx)
             out = self.sync.poll()
@@ -364,6 +379,10 @@ class _DecodeSyncStage(WorkObject):
                     self._hdr.update(sd)
             frames = [buf] if buf.planes is not None else self.vdec.feed(buf)
             for f in frames:
+                if f.pts is not None:
+                    self._last_vpts = f.pts
+                    if f.duration:
+                        self._last_vdur = f.duration
                 if self._hdr:
                     f.side_data.update(self._hdr)
                     # per-frame payloads attach once; statics persist
