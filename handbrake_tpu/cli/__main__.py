@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--encoder-preset", default=None)
     p.add_argument("--encoder-profile", default=None)
     p.add_argument("--encoder-level", default=None)
+    p.add_argument("--gop-parallel", type=int, default=0,
+                   help="shard the encode into N keyframe-aligned GOP "
+                        "chunks over the device mesh (h264)")
     # picture
     p.add_argument("-w", "--width", type=int)
     p.add_argument("-l", "--height", type=int)
@@ -170,6 +173,8 @@ def apply_cli_overrides(job: Job, args) -> Job:
         job.encoder_profile = args.encoder_profile
     if args.encoder_level:
         job.encoder_level = args.encoder_level
+    if args.gop_parallel:
+        job.gop_parallel = args.gop_parallel
     if args.markers:
         job.chapter_markers = True
 

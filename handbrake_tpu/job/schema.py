@@ -156,6 +156,9 @@ class Job:
     # Metadata + filters
     metadata: dict = dataclasses.field(default_factory=dict)
     filters: List[FilterSpec] = dataclasses.field(default_factory=list)
+    # GOP-parallel encode: shard the video into N keyframe-aligned chunks
+    # over the device mesh (parallel/gop.py; SURVEY §2.8.3).  0/1 = off.
+    gop_parallel: int = 0
     # Engine-internal (interjob analog)
     pass_id: int = 0           # -1 subtitle scan, 1 analysis, 0/2 final
     pass_count: int = 1
@@ -193,6 +196,8 @@ class Job:
                 "Preset": self.encoder_preset, "Tune": self.encoder_tune,
                 "Profile": self.encoder_profile, "Level": self.encoder_level,
                 "Options": self.encoder_options,
+                **({"GopParallel": self.gop_parallel}
+                   if self.gop_parallel else {}),
                 **({"Quality": self.quality} if self.quality is not None else
                    {"Bitrate": self.vbitrate, "MultiPass": self.multipass,
                     "Turbo": self.turbo_first_pass}),
@@ -271,6 +276,7 @@ class Job:
         j.encoder_profile = v.get("Profile", "auto") or "auto"
         j.encoder_level = v.get("Level", "auto") or "auto"
         j.encoder_options = v.get("Options", "") or ""
+        j.gop_parallel = int(v.get("GopParallel", 0) or 0)
         j.color = {k[len("Color"):]: val for k, val in v.items()
                    if k.startswith("Color")}
         a = d.get("Audio", {})

@@ -71,9 +71,10 @@ def encode_gop_parallel(frames, width: int, height: int, qp,
     releases the GIL), so shards entropy-code concurrently while the next
     device step is prepared.
 
-    Returns (streams, full_stream): per-gop annex-B segments (rank-0
-    gather order) and their concatenation. Bit-identical to encoding each
-    chunk serially with its own encoder — tests assert this.
+    Returns (streams, full_stream, frame_aus): per-gop annex-B segments
+    (rank-0 gather order), their concatenation, and per-gop per-frame AU
+    lists (the muxer needs sample boundaries). Bit-identical to encoding
+    each chunk serially with its own encoder — tests assert this.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -102,10 +103,11 @@ def encode_gop_parallel(frames, width: int, height: int, qp,
     analyze = jax.jit(jax.vmap(build_p_analyzer_fn(mb_w, mb_h),
                                in_axes=(0, 0, 0, 0, 0, 0, 0, 0)))
 
-    streams = [b"" for _ in range(G)]
+    frame_aus = [[] for _ in range(G)]
     # frame 0 of each gop: IDR on host (native I-slice walker)
     for g, (s, ln) in enumerate(chunks):
-        streams[g] += encs[g].encode_frame(*frames[s], qp=qp_of(g, 0))
+        frame_aus[g].append(encs[g].encode_frame(*frames[s],
+                                                 qp=qp_of(g, 0)))
 
     max_len = max(ln for _, ln in chunks)
     pool = ThreadPoolExecutor(max_workers=min(G, 8))
@@ -141,9 +143,10 @@ def encode_gop_parallel(frames, width: int, height: int, qp,
         it = iter(parts)
         for g in range(G):
             if live[g]:
-                streams[g] += next(it)
+                frame_aus[g].append(next(it))
     pool.shutdown(wait=False)
-    return streams, b"".join(streams)
+    streams = [b"".join(a) for a in frame_aus]
+    return streams, b"".join(streams), frame_aus
 
 
 def encode_gop_parallel_2pass(frames, width: int, height: int,
@@ -165,7 +168,7 @@ def encode_gop_parallel_2pass(frames, width: int, height: int,
     duration_s = len(frames) / fps_f
     total_bits = target_kbps * 1000.0 * duration_s
 
-    p1_streams, _ = encode_gop_parallel(frames, width, height, qp1, mesh,
+    p1_streams, _, _ = encode_gop_parallel(frames, width, height, qp1, mesh,
                                         fps)
     complexity = np.asarray([len(s) * 8.0 for s in p1_streams], np.float64)
     budgets = exchange_rc_stats(mesh, complexity, total_bits)
@@ -195,7 +198,7 @@ def encode_gop_parallel_2pass(frames, width: int, height: int,
     for _attempt in range(3):
         qps = [dither(qfs[g] + corr, ln)
                for g, (_, ln) in enumerate(chunks)]
-        streams, full = encode_gop_parallel(frames, width, height, qps,
+        streams, full, _ = encode_gop_parallel(frames, width, height, qps,
                                             mesh, fps)
         actual_kbps = len(full) * 8.0 / duration_s / 1000.0
         if abs(actual_kbps - target_kbps) <= 0.04 * target_kbps:

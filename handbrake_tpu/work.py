@@ -275,8 +275,12 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
     decsync = _DecodeSyncStage(video_track, vdec, adecs, sync, v_sync,
                                a_sync, stats, vcodec=vti.codec)
     decsync.fifo_in, decsync.fifo_out = fifo_raw, fifo_sync
+    gshards = int(getattr(job, "gop_parallel", 0) or 0)
+    if gshards > 1 and job.vcodec not in ("h264_tpu", "x264", "h264"):
+        log("gop-parallel: only the h264 encoder is sharded — ignoring")
+        gshards = 0
     encst = _EncodeStage(graph, venc, aencs, rc, stats, progress,
-                         sub_specs, (out_w, out_h))
+                         sub_specs, (out_w, out_h), gop_parallel=gshards)
     encst.fifo_in, encst.fifo_out = fifo_sync, fifo_enc
     muxst = _MuxStage(mux, aencs)
     muxst.fifo_in = fifo_enc
@@ -403,7 +407,7 @@ class _EncodeStage(WorkObject):
     name = "filter+encode"
 
     def __init__(self, graph, venc, aencs, rc, stats, progress, sub_specs,
-                 out_wh):
+                 out_wh, gop_parallel=0):
         super().__init__()
         self.graph = graph
         self.venc = venc
@@ -414,6 +418,8 @@ class _EncodeStage(WorkObject):
         self.sub_specs = sub_specs or {}
         self.out_wh = out_wh
         self._pend = []   # (pending, fb, qp, is_idr)
+        self.gop_parallel = int(gop_parallel or 0)
+        self._gp_frames = []   # buffered (planes, fb) in gop-parallel mode
 
     # -- video ---------------------------------------------------------------
     def _planes(self, fb):
@@ -459,6 +465,11 @@ class _EncodeStage(WorkObject):
 
     def _encode(self, fb):
         y, u, v = self._planes(fb)
+        if self.gop_parallel > 1:
+            # GOP-parallel mode (parallel/gop.py, SURVEY §2.8.3): buffer
+            # display frames; the sharded encode runs at EOF
+            self._gp_frames.append(((y, u, v), fb))
+            return []
         is_idr = (self.venc.frame_idx % self.venc.cfg.gop) == 0
         out = []
         if is_idr:
@@ -487,12 +498,42 @@ class _EncodeStage(WorkObject):
         au = self.venc.finish_frame(p)
         return self._emit_video(au, fb, is_idr, qp)
 
+    def _gp_flush(self):
+        """Run the sharded GOP-parallel encode over the buffered frames
+        (keyframe-aligned chunks over a jax.sharding mesh, one shard per
+        device) and emit per-frame AU buffers in display order."""
+        import jax
+        from .parallel.gop import encode_gop_parallel, split_gops
+        from jax.sharding import Mesh
+        if not self._gp_frames:
+            return []
+        frames = [p for p, _fb in self._gp_frames]
+        fbs = [fb for _p, fb in self._gp_frames]
+        self._gp_frames = []
+        devs = jax.devices()
+        G = max(1, min(self.gop_parallel, len(devs), len(frames)))
+        mesh = Mesh(np.array(devs[:G]), ("gop",))
+        w, h = self.out_wh
+        qp = self.venc.cfg.qp
+        log(f"gop-parallel: {len(frames)} frames over {G} shards "
+            f"({len(devs)} devices)")
+        _, _, frame_aus = encode_gop_parallel(frames, w, h, qp, mesh,
+                                              fps=self.venc.cfg.fps)
+        out = []
+        i = 0
+        for g, aus in enumerate(frame_aus):
+            for k, au in enumerate(aus):
+                out.append(self._emit_video(au, fbs[i], k == 0, qp))
+                i += 1
+        return out
+
     # -- dispatch --------------------------------------------------------------
     def work(self, buf):
         if buf.is_eof():
             out = []
             for fb in self.graph.flush():
                 out += self._encode(fb)
+            out += self._gp_flush()
             while self._pend:
                 out.append(self._finish_one())
             for sid, enc in self.aencs.items():

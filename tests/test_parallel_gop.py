@@ -31,7 +31,7 @@ def test_gop_parallel_bit_exact_and_muxes(tmp_path):
     frames = _frames(N)
     mesh = make_mesh(2, tile=1)
     assert mesh.shape["gop"] == 2
-    streams, full = encode_gop_parallel(frames, W, H, 28, mesh)
+    streams, full, frame_aus = encode_gop_parallel(frames, W, H, 28, mesh)
     assert len(streams) == 2
 
     # serial reference: same chunking, one encoder per chunk
@@ -80,7 +80,7 @@ def test_gop_parallel_bit_exact_and_muxes(tmp_path):
 def test_gop_parallel_uneven_chunks():
     frames = _frames(7)
     mesh = make_mesh(2, tile=1)
-    streams, full = encode_gop_parallel(frames, W, H, 30, mesh)
+    streams, full, _ = encode_gop_parallel(frames, W, H, 30, mesh)
     dec = H264Decoder().decode(full)
     assert len(dec) == 7
 
@@ -136,7 +136,7 @@ def test_per_gop_qp_varies_without_recompile():
                np.full((H // 2, W // 2), 150, np.uint8))
               for _ in range(N)]
     qps = [26, 34]
-    streams, _ = encode_gop_parallel(frames, W, H, qps, mesh, fps=(30, 1))
+    streams, _, _ = encode_gop_parallel(frames, W, H, qps, mesh, fps=(30, 1))
     for g, (s, ln) in enumerate(split_gops(N, 2)):
         enc = H264Encoder(EncoderConfig(width=W, height=H, qp=qps[g],
                                         gop=ln, fps=(30, 1),

@@ -505,3 +505,55 @@ def test_do_job_aac_to_aac_reencode(tmp_path):
     snr = 10 * np.log10((amp ** 2 / 2) / max(1e-12, float(
         (resid ** 2).mean())))
     assert snr > 25, snr
+
+
+def test_do_job_gop_parallel(tmp_path, y4m_src):
+    """Job.gop_parallel shards the encode into keyframe-aligned GOP
+    chunks over the device mesh inside do_job itself (VERDICT r3 #5:
+    the scale-out path reachable from a job JSON / --gop-parallel)."""
+    import jax
+    from handbrake_tpu.job.schema import Job
+    from handbrake_tpu.sources.probe import open_source
+
+    out = str(tmp_path / "gp.mp4")
+    j = Job(path=y4m_src, file=out, mux="mp4", vcodec="h264",
+            quality=28.0, gop_parallel=4)
+    # round-trips through the JSON schema (the compatibility surface)
+    j2 = Job.from_json(j.to_json())
+    assert j2.gop_parallel == 4
+    stats = work.do_job(j)
+    assert not stats.get("error"), stats
+    assert stats["frames_out"] == N
+
+    d = open_source(out)
+    n_sync = sum(1 for k in range(d.n_samples(0))
+                 if d.read_sample(0, k).frametype)
+    G = min(4, len(jax.devices()), N)
+    assert n_sync == G, (n_sync, G)   # one IDR per gop shard
+    # decodes fine end to end
+    es = b""
+    for k in range(d.n_samples(0)):
+        es += d.read_sample(0, k).data
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(__file__))
+    import ffdec
+    if ffdec.available():
+        ed = d.tracks[0].extradata
+        hdr = b""
+        off = 5
+        nsps = ed[off] & 0x1F
+        off += 1
+        for _ in range(nsps):
+            ln = int.from_bytes(ed[off:off + 2], "big")
+            off += 2
+            hdr += b"\x00\x00\x00\x01" + ed[off:off + ln]
+            off += ln
+        npps = ed[off]
+        off += 1
+        for _ in range(npps):
+            ln = int.from_bytes(ed[off:off + 2], "big")
+            off += 2
+            hdr += b"\x00\x00\x00\x01" + ed[off:off + ln]
+            off += ln
+        dec = ffdec.decode_yuv(hdr + es, "h264")
+        assert len(dec) == N
