@@ -3,10 +3,10 @@
 Measures the full per-frame cost of H264Encoder in its FLAGSHIP quality
 configuration — device analysis (coarse+full+quarter-pel ME, MC,
 transform/quant/recon for every macroblock) chained with the in-loop
-deblocking wavefront on device, CABAC entropy in the native C++ stage,
-and NAL packing — i.e. what a transcode job actually pays per frame
-(the reference's encx264.c work loop: one call = one encoded frame,
-x264 main-profile toolset: CABAC + deblock).
+deblocking wavefront on device, per-MB 4x4/8x8 transform RDO (High
+profile), CABAC entropy in the native C++ stage, and NAL packing — i.e.
+what a transcode job actually pays per frame (encx264.c work-loop role;
+the x264 DEFAULT toolset: CABAC + deblock + 8x8dct).
 
 Baseline 30 fps ≈ x264 medium 1080p single-socket CPU encode (HandBrake
 publishes no absolute numbers — see BASELINE.md).
@@ -62,7 +62,7 @@ def main():
     frames = make_clip(W, H, n_warm + n_meas + 1)
     enc = H264Encoder(EncoderConfig(width=W, height=H, qp=26, gop=600,
                                     backend="device", deblock=True,
-                                    cabac=True))
+                                    cabac=True, transform8x8=True))
     import jax
 
     t_compile0 = time.perf_counter()
@@ -128,7 +128,7 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-        "toolset": "CABAC+deblock (Main), device analysis+loopfilter",
+        "toolset": "CABAC+deblock+8x8 (High), device analysis+loopfilter",
         "ms_per_frame": round(dt * 1000, 1),
         "breakdown_ms": {
             "upload_dispatch": round(t_begin / n_run * 1000, 1),

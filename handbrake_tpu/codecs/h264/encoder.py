@@ -362,9 +362,8 @@ class H264Encoder:
 
     def __init__(self, cfg: EncoderConfig):
         self.cfg = cfg
-        if cfg.transform8x8:
-            # 8x8 residuals are written by the python walker only
-            cfg.backend = "host"
+        if cfg.transform8x8 and cfg.backend != "device":
+            # the host walker's 8x8 path is CAVLC-only
             if cfg.cabac:
                 cfg.cabac = False
         # native (C++) serial stage — needed before the CABAC decision
@@ -415,8 +414,9 @@ class H264Encoder:
             # with cfg.deblock the analyzer chains the wavefront loop
             # filter (deblock_tpu) so the reference planes never leave
             # the device on all-inter frames
-            self._analyzer = build_p_analyzer(self.mb_w, self.mb_h,
-                                              deblock=cfg.deblock)
+            self._analyzer = build_p_analyzer(
+                self.mb_w, self.mb_h, deblock=cfg.deblock,
+                transform8x8=cfg.transform8x8)
 
     # -- frame-level -------------------------------------------------------
     def headers(self) -> bytes:
@@ -590,6 +590,8 @@ class H264Encoder:
         off += n_mb * 4
         out["cbp_luma"] = np.frombuffer(buf, np.int8, n_mb, off)
         off += n_mb
+        out["t8"] = np.frombuffer(buf, np.int8, n_mb, off)
+        off += n_mb
         out["unnz"] = np.frombuffer(buf, np.int8, n_mb * 4, off).reshape(
             n_mb, 4)
         off += n_mb * 4
@@ -648,6 +650,9 @@ class H264Encoder:
         sad = arr("sad", np.int32)
         luma_lv = arr("luma_lv", np.int16)
         cbp_luma = arr("cbp_luma", np.int8)
+        t8a = (np.ascontiguousarray(small["t8"], np.int8)
+               if "t8" in small and self.cfg.transform8x8
+               else np.zeros(self.mb_w * self.mb_h, np.int8))
         udc, vdc = arr("udc", np.int16), arr("vdc", np.int16)
         uac, vac = arr("uac", np.int16), arr("vac", np.int16)
         unnz, vnnz = arr("unnz", np.int8), arr("vnnz", np.int8)
@@ -656,11 +661,11 @@ class H264Encoder:
         out_nnz = np.zeros(n_mb * 16, np.int8)
         n = self._natlib.hb264_encode_p_slice(
             self.mb_w, self.mb_h, qp, qpc, intra_thresh_for_qp(qp),
-            int(self.cfg.cabac),
+            int(self.cfg.cabac), int(self.cfg.transform8x8),
             self._u8p(hdr), hdr.size, hdr_bw._cur, hdr_bw._nbits,
             self._u8p(sy), self._u8p(su), self._u8p(sv),
             i16p(mv), self._i32p(sad),
-            i16p(luma_lv), i8p(cbp_luma),
+            i16p(luma_lv), i8p(cbp_luma), i8p(t8a),
             i16p(udc), i16p(vdc), i16p(uac), i16p(vac),
             i8p(unnz), i8p(vnnz),
             self._u8p(ry), self._u8p(ru), self._u8p(rv),
@@ -672,10 +677,13 @@ class H264Encoder:
                 # re-filter the patched frame with the true intra mask +
                 # final nnz grid (native spec 8.7 filter)
                 mvs32 = np.ascontiguousarray(mv.astype(np.int32).ravel())
+                t8eff = np.ascontiguousarray(
+                    t8a * (1 - out_intra), np.int8)
                 self._natlib.hb264_deblock(
                     self._u8p(ry), self._u8p(ru), self._u8p(rv),
                     self.mb_w, self.mb_h, qp, qpc,
-                    i8p(out_intra), self._i32p(mvs32), i8p(out_nnz), None)
+                    i8p(out_intra), self._i32p(mvs32), i8p(out_nnz),
+                    i8p(t8eff) if self.cfg.transform8x8 else None)
             # intra-fallback MBs were patched into the host recon copy —
             # re-point the reference chain (in-flight analyses re-dispatch)
             self._propagate_refs(dev, (ry, ru, rv))
@@ -1285,15 +1293,26 @@ class H264Encoder:
 
                 pred_mv = P.predict_mv_16x16(ctx.mvs, ctx.refs, mbx, mby,
                                              self.mb_w)
+                t8_i = bool(self.cfg.transform8x8
+                            and int(dev.get("t8", np.zeros(1))[i]
+                                    if "t8" in dev else 0))
                 bw.ue(skip_run)
                 skip_run = 0
                 bw.ue(0)  # P_L0_16x16
                 bw.se(mv[0] - pred_mv[0])
                 bw.se(mv[1] - pred_mv[1])
                 bw.ue(CBP_INTER_INV[cbp])
+                if self.cfg.transform8x8 and (cbp & 15):
+                    bw.put_bit(1 if t8_i else 0)
                 if cbp != 0:
                     bw.se(0)
-                if cbp_luma:
+                ctx.t8x8[mby, mbx] = t8_i and cbp_luma != 0
+                if cbp_luma and t8_i:
+                    subs = np.asarray(dev["luma_lv"][i],
+                                      np.int32).reshape(16, 16)
+                    self._write_luma_residual_inter8(bw, ctx, mbx, mby,
+                                                     subs, cbp_luma)
+                elif cbp_luma:
                     self._write_luma_residual_inter(
                         bw, ctx, mbx, mby, dev["luma_lv"][i], cbp_luma, None)
                 else:

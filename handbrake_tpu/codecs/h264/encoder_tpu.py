@@ -106,6 +106,74 @@ _CF = np.array([[1, 1, 1, 1], [2, 1, -1, -2],
 _H2 = np.array([[1, 1], [1, -1]], np.int32)
 
 
+# ---------------------------------------------------------------------------
+# 8x8 transform (High profile) — traced-qp variants of transform.py's
+# fquant8x8 / dequant8x8 / idct8x8.  Forward quant runs in f32 (any level
+# choice is conformant); recon is the spec integer inverse (bit-exact).
+# ---------------------------------------------------------------------------
+def _t8_consts():
+    from .transform import _G8_INV, V8x8, ZIG8
+    perm = np.zeros((64, 64), np.float32)
+    for s, c in enumerate(ZIG8):
+        perm[c, s] = 1.0                       # scan = flat @ perm
+    return (_G8_INV.astype(np.float32), V8x8.astype(np.int32),
+            perm)
+
+
+_G8F, _V8, _P8SCAN = _t8_consts()
+
+
+def _fquant8x8_t(res, qp):
+    """res: (n, 4, 8, 8) int32 → levels (n, 4, 8, 8) int32 (inter)."""
+    r = res.astype(jnp.float32)
+    w = 64.0 * jnp.einsum("ij,...jk,lk->...il", _G8F, r, _G8F)
+    step = (16.0 * jnp.asarray(_V8, jnp.float32)[qp % 6]
+            * jnp.exp2(jnp.asarray(qp // 6 - 6, jnp.float32)))
+    q = jnp.floor(jnp.abs(w) / step + (1.0 / 6.0))
+    return (jnp.sign(w) * q).astype(jnp.int32)
+
+
+def _dequant8x8_t(lv, qp):
+    # int32 like the C decoder (products stay < 2^24 for valid levels)
+    lv = lv.astype(jnp.int32)
+    ls = jnp.asarray(_V8, jnp.int32)[qp % 6] * 16
+    qp6 = qp // 6
+    hi = jnp.left_shift(lv * ls, jnp.maximum(qp6 - 6, 0))
+    lo = jnp.right_shift(lv * ls + jnp.left_shift(
+        jnp.int32(1), jnp.clip(5 - qp6, 0, 5)), jnp.clip(6 - qp6, 0, 6))
+    return jnp.where(qp6 >= 6, hi, lo).astype(jnp.int32)
+
+
+def _idct8_1d_t(a):
+    a0, a1, a2, a3 = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    a4, a5, a6, a7 = a[..., 4], a[..., 5], a[..., 6], a[..., 7]
+    e0 = a0 + a4
+    e1 = -a3 + a5 - a7 - (a7 >> 1)
+    e2 = a0 - a4
+    e3 = a1 + a7 - a3 - (a3 >> 1)
+    e4 = (a2 >> 1) - a6
+    e5 = -a1 + a7 + a5 + (a5 >> 1)
+    e6 = a2 + (a6 >> 1)
+    e7 = a3 + a5 + a1 + (a1 >> 1)
+    f0 = e0 + e6
+    f1 = e1 + (e7 >> 2)
+    f2 = e2 + e4
+    f3 = e3 + (e5 >> 2)
+    f4 = e2 - e4
+    f5 = (e3 >> 2) - e5
+    f6 = e0 - e6
+    f7 = e7 - (e1 >> 2)
+    return jnp.stack([f0 + f7, f2 + f5, f4 + f3, f6 + f1,
+                      f6 - f1, f4 - f3, f2 - f5, f0 - f7], axis=-1)
+
+
+def _idct8x8_t(d):
+    d = d.astype(jnp.int32)
+    t = _idct8_1d_t(d)
+    g = jnp.swapaxes(_idct8_1d_t(jnp.swapaxes(t, -1, -2)), -1, -2)
+    return (g + 32) >> 6
+
+
 def _fdct(d):
     return jnp.einsum("ij,...jk,lk->...il", _CF, d, _CF)
 
@@ -279,13 +347,14 @@ def _subpel_preds(A):
 # the analyzer
 # ---------------------------------------------------------------------------
 def build_p_analyzer(mb_w: int, mb_h: int, interpret: bool | None = None,
-                     deblock: bool = False):
+                     deblock: bool = False, transform8x8: bool = False):
     """Returns jitted analyze(src_packed, ref_y,u,v, qp, qpc) → dict.
 
     src_packed is the three source planes concatenated into one flat uint8
     buffer (y | u | v): the host→device link pays per-transfer overhead, so
     the encoder ships one array per frame instead of three."""
-    fn = build_p_analyzer_fn(mb_w, mb_h, interpret, deblock=deblock)
+    fn = build_p_analyzer_fn(mb_w, mb_h, interpret, deblock=deblock,
+                             transform8x8=transform8x8)
     H, W = mb_h * 16, mb_w * 16
     ny, nc = H * W, (H // 2) * (W // 2)
 
@@ -299,7 +368,7 @@ def build_p_analyzer(mb_w: int, mb_h: int, interpret: bool | None = None,
 
 
 def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None,
-                        deblock: bool = False):
+                        deblock: bool = False, transform8x8: bool = False):
     """Un-jitted analyze fn — vmap/shard_map-composable (see parallel/mesh).
 
     interpret: run the Pallas fetch in interpreter mode (auto: on non-TPU
@@ -415,6 +484,50 @@ def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None,
         rec = _idct(_dequant4x4_t(lv, qp))
         recon_y = jnp.clip(pred_y + _from_blocks4(rec, 16, 16), 0, 255)
 
+        t8_flags = jnp.zeros((n_mb,), bool)
+        if transform8x8:
+            # --- 8x8 transform hypothesis (High profile) + per-MB RDO ---
+            quads8 = (res.reshape(n_mb, 2, 8, 2, 8)
+                      .transpose(0, 1, 3, 2, 4).reshape(n_mb, 4, 8, 8))
+            lv8 = _fquant8x8_t(quads8, qp)
+            q8c = jnp.any(lv8 != 0, axis=(2, 3))          # (n, 4)
+            cbp8 = (q8c.astype(jnp.int32)
+                    << jnp.arange(4, dtype=jnp.int32)).sum(-1)
+            lv8 = jnp.where(q8c[:, :, None, None], lv8, 0)
+            r8 = _idct8x8_t(_dequant8x8_t(lv8, qp))
+            r8f = (r8.reshape(n_mb, 2, 2, 8, 8)
+                   .transpose(0, 1, 3, 2, 4).reshape(n_mb, 16, 16))
+            recon8 = jnp.clip(pred_y + r8f, 0, 255)
+            # true-recon RDO, same cost model as the host walker
+            # (encoder.py: SSD + lam2 * 6 * nnz)
+            lam2 = 0.85 * jnp.exp2(
+                (jnp.asarray(qp).astype(jnp.float32) - 12.0) / 3.0)
+            nnz8_tot = (lv8 != 0).sum((1, 2, 3))
+            ssd4 = ((src_mb - recon_y) ** 2).sum((1, 2)).astype(jnp.float32)
+            ssd8 = ((src_mb - recon8) ** 2).sum((1, 2)).astype(jnp.float32)
+            j4 = ssd4 + lam2 * 6.0 * nnz.sum(-1).astype(jnp.float32)
+            j8 = ssd8 + lam2 * 6.0 * nnz8_tot.astype(jnp.float32)
+            t8_flags = (j8 < j4) & (cbp8 != 0)
+            # select recon / cbp; levels re-packed below
+            recon_y = jnp.where(t8_flags[:, None, None], recon8, recon_y)
+            cbp_luma = jnp.where(t8_flags, cbp8, cbp_luma)
+            # 8x8 CAVLC sub-streams: zig-scan via one-hot matmul (f32 is
+            # exact for level magnitudes), then phase de-interleave —
+            # sub-stream k = (quad k>>2, phase k&3), 16 coeffs each
+            scan8 = jnp.einsum("nqc,cs->nqs",
+                               lv8.reshape(n_mb, 4, 64).astype(jnp.float32),
+                               _P8SCAN).astype(jnp.int32)
+            subs = (scan8.reshape(n_mb, 4, 16, 4)
+                    .transpose(0, 1, 3, 2).reshape(n_mb, 16, 16))
+            lv = jnp.where(t8_flags[:, None, None, None],
+                           subs.reshape(n_mb, 16, 4, 4), lv)
+            # per-4x4-cell coded-ness for the loop filter (each cell of a
+            # coded quad counts as coded — hbdec264 block_bs nzl)
+            cells8 = (jnp.repeat(jnp.repeat(
+                q8c.reshape(n_mb, 2, 2), 2, axis=1), 2, axis=2)
+                .reshape(n_mb, 16).astype(jnp.int32) * 16)
+            nnz = jnp.where(t8_flags[:, None], cells8, nnz)
+
         # --- chroma: select 9x9 window by final-mv offset, bilinear MC ---
         def chroma(srcp, wc):
             base4 = jnp.stack([mv_cx * 4 - 16, mv_cy * 4 - 16])
@@ -497,6 +610,7 @@ def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None,
             _bytes(mv16),
             _bytes(sad_best.astype(jnp.int32)),
             _bytes(cbp_luma.astype(jnp.int8)),
+            _bytes(t8_flags.astype(jnp.int8)),
             _bytes(unnz.astype(jnp.int8)),
             _bytes(vnnz.astype(jnp.int8)),
             _bytes(coded_idx.astype(
@@ -512,8 +626,7 @@ def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None,
                 rec_y_p, rec_u_p, rec_v_p, mv16,
                 nnz.astype(jnp.int32),
                 jnp.zeros((n_mb,), bool),        # all-inter assumption
-                jnp.zeros((n_mb,), bool),        # no 8x8 transform MBs yet
-                qp, qpc)
+                t8_flags, qp, qpc)
             extra = {"recon_y_nf": rec_y_p, "urec_nf": rec_u_p,
                      "vrec_nf": rec_v_p}
             rec_y_p, rec_u_p, rec_v_p = dby, dbu, dbv
@@ -535,6 +648,7 @@ def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None,
             "luma_lv": lv.astype(jnp.int16),
             "luma_nnz": nnz.astype(jnp.int8),
             "cbp_luma": cbp_luma.astype(jnp.int8),
+            "t8": t8_flags.astype(jnp.int8),
             "recon_y": rec_y_p,
             "udc": udc.astype(jnp.int16), "uac": uac.astype(jnp.int16),
             "urec": rec_u_p, "unnz": unnz.astype(jnp.int8),

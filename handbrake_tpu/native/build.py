@@ -83,10 +83,10 @@ def _bind(lib):
     lib.hb264_encode_p_slice.restype = ctypes.c_int
     lib.hb264_encode_p_slice.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
         u8p, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
         u8p, u8p, u8p,
-        i16p, i32p, i16p, i8p, i16p, i16p, i16p, i16p, i8p, i8p,
+        i16p, i32p, i16p, i8p, i8p, i16p, i16p, i16p, i16p, i8p, i8p,
         u8p, u8p, u8p, u8p, ctypes.c_int, i8p, i8p]
     lib.hb264_deblock.restype = None
     lib.hb264_deblock.argtypes = [

@@ -121,6 +121,7 @@ struct CabacSliceState {
     std::vector<uint8_t> cmode;       // intra_chroma_pred_mode
     std::vector<int16_t> mvdx, mvdy;  // per MB (16x16 partitions)
     std::vector<uint8_t> done;        // MB decoded (availability)
+    std::vector<uint8_t> t8;          // transform_size_8x8_flag per MB
 
     void init(int w, int h) {
         mb_w = w; mb_h = h;
@@ -129,7 +130,7 @@ struct CabacSliceState {
         dc_cbf.assign(n, 0); cdc_cbf[0].assign(n, 0); cdc_cbf[1].assign(n, 0);
         cbp.assign(n, 0); cmode.assign(n, 0);
         mvdx.assign(n, 0); mvdy.assign(n, 0);
-        done.assign(n, 0);
+        done.assign(n, 0); t8.assign(n, 0);
     }
     bool avail(int x, int y) const {
         return x >= 0 && y >= 0 && x < mb_w && y < mb_h &&
@@ -203,5 +204,53 @@ static int cabac_residual(CabacEnc& e, const int32_t* coeffs, int n,
 // coded_block_flag ctxIdxInc for a luma-grid 4x4 block (cats 1/2) from the
 // nnz grids kept by Ctx; cur_intra resolves the unavailable-neighbour rule.
 static inline int cbf_inc_from(int a, int b) { return a + 2 * b; }
+
+// Encode one 8x8 residual block (cat 5, High profile): no cbf; the
+// significance map uses the 8x8 context index tables and the abs-level
+// node machine at ctx base 426.  Mirrors hbdec264.cpp
+// cabac_residual8_dec bit-for-bit.  coeffs: 64 levels in 8x8 scan order.
+// Returns total nonzero count.
+static int cabac_residual8(CabacEnc& e, const int32_t* c) {
+    static const int SIG8 = 402, LST8 = 417, LVL8 = 426;
+    static const uint8_t L1[8] = {1, 2, 3, 4, 0, 0, 0, 0};
+    static const uint8_t LG[8] = {5, 5, 5, 5, 6, 7, 8, 9};
+    static const uint8_t TR[2][8] = {{1, 2, 3, 3, 4, 5, 6, 7},
+                                     {4, 4, 4, 4, 5, 6, 7, 7}};
+    int last = -1, count = 0;
+    for (int i = 0; i < 64; i++)
+        if (c[i]) { last = i; count++; }
+    for (int i = 0; i < 63; i++) {
+        int s = c[i] != 0;
+        e.encode(SIG8 + kSigCoeff8x8Frame[i], s);
+        if (s) {
+            e.encode(LST8 + kLastCoeff8x8[i], i == last);
+            if (i == last) break;
+        }
+    }
+    int node = 0;
+    for (int i = last; i >= 0; i--) {
+        if (!c[i]) continue;
+        int32_t v = c[i];
+        uint32_t a = v < 0 ? -v : v;
+        if (a == 1) {
+            e.encode(LVL8 + L1[node], 0);
+            node = TR[0][node];
+        } else {
+            e.encode(LVL8 + L1[node], 1);
+            int gctx = LVL8 + LG[node];
+            uint32_t m = a - 2;
+            if (m < 13) {
+                for (uint32_t j = 0; j < m; j++) e.encode(gctx, 1);
+                e.encode(gctx, 0);
+            } else {
+                for (int j = 0; j < 13; j++) e.encode(gctx, 1);
+                e.eg_suffix(a - 15, 0);
+            }
+            node = TR[1][node];
+        }
+        e.bypass(v < 0);
+    }
+    return count;
+}
 
 }  // namespace

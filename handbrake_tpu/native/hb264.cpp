@@ -870,7 +870,8 @@ static void cabac_write_inter(Cabac& cb, Ctx& ctx, int mbx, int mby,
                               int cbp_chroma,
                               const int32_t lv[16][16],
                               const int32_t udc[4], const int32_t uac[4][16],
-                              const int32_t vdc[4], const int32_t vac[4][16]) {
+                              const int32_t vdc[4], const int32_t vac[4][16],
+                              int t8_mode = 0, int t8 = 0) {
     CabacSliceState& S = cb.s;
     CabacEnc& e = cb.e;
     int mi = S.idx(mbx, mby);
@@ -885,10 +886,39 @@ static void cabac_write_inter(Cabac& cb, Ctx& ctx, int mbx, int mby,
     cabac_mvd(e, 47, mvdy,
               amvd(mbx - 1, mby, S.mvdy) + amvd(mbx, mby - 1, S.mvdy));
     cabac_cbp(cb, mbx, mby, cbp_luma, cbp_chroma);
+    if (t8_mode && cbp_luma) {
+        // transform_size_8x8_flag, ctx 399 + left_t8 + top_t8 (7.3.5;
+        // hbdec264.cpp parse path mirror)
+        int a = S.avail(mbx - 1, mby) && S.t8[S.idx(mbx - 1, mby)];
+        int b = S.avail(mbx, mby - 1) && S.t8[S.idx(mbx, mby - 1)];
+        e.encode(399 + a + b, t8);
+    }
     if (cbp_luma || cbp_chroma) cabac_mb_qp_delta(cb, 0, 0);
 
     int b0y = mby * 4, b0x = mbx * 4, W4 = ctx.mb_w * 4;
     int32_t z[16];
+    if (t8 && cbp_luma) {
+        // 8x8 residuals: lv[] holds the four CAVLC sub-streams per quad
+        // (slot k = quad k>>2, phase k&3); rebuild the 64-coeff scans
+        for (int q = 0; q < 4; q++) {
+            int cy = b0y + (q >> 1) * 2, cx = b0x + (q & 1) * 2;
+            if (!((cbp_luma >> q) & 1)) {
+                for (int yy = 0; yy < 2; yy++)
+                    for (int xx = 0; xx < 2; xx++)
+                        ctx.nnz_l[(cy + yy) * W4 + cx + xx] = 0;
+                continue;
+            }
+            int32_t c64[64];
+            for (int i = 0; i < 16; i++)
+                for (int j = 0; j < 4; j++)
+                    c64[4 * i + j] = lv[q * 4 + j][i];
+            int tc = cabac_residual8(e, c64);
+            int cell = tc > 16 ? 16 : tc;
+            for (int yy = 0; yy < 2; yy++)
+                for (int xx = 0; xx < 2; xx++)
+                    ctx.nnz_l[(cy + yy) * W4 + cx + xx] = cell;
+        }
+    } else
     for (int k = 0; k < 16; k++) {
         int ridx = CODED_ORDER[k];
         int quad = (ridx / 8) * 2 + (ridx % 4) / 2;
@@ -941,6 +971,7 @@ static void cabac_write_inter(Cabac& cb, Ctx& ctx, int mbx, int mby,
     S.intra[mi] = 0; S.i16[mi] = 0; S.skip[mi] = 0;
     S.cbp[mi] = (uint8_t)(cbp_luma | (cbp_chroma << 4));
     S.mvdx[mi] = (int16_t)mvdx; S.mvdy[mi] = (int16_t)mvdy;
+    S.t8[mi] = (uint8_t)(t8 && cbp_luma ? 1 : 0);
     S.done[mi] = 1;
 }
 
@@ -1356,10 +1387,12 @@ int hb264_encode_i_slice(
 //   recon (assembled on device); only intra-fallback MBs are rewritten.
 int hb264_encode_p_slice(
     int mb_w, int mb_h, int qp, int qpc, int intra_thresh, int cabac,
+    int t8_mode,
     const uint8_t* hdr_bytes, int hdr_nbytes, uint64_t hdr_cur, int hdr_nbits,
     const uint8_t* src_y, const uint8_t* src_u, const uint8_t* src_v,
     const int16_t* mv, const int32_t* sad,
     const int16_t* luma_lv, const int8_t* cbp_luma_arr,
+    const int8_t* t8_arr,
     const int16_t* udc_a, const int16_t* vdc_a,
     const int16_t* uac_a, const int16_t* vac_a,
     const int8_t* unnz_a, const int8_t* vnnz_a,
@@ -1407,6 +1440,7 @@ int hb264_encode_p_slice(
             int cbp_chroma = (u_ac || v_ac) ? 2 : ((u_dc || v_dc) ? 1 : 0);
             int cbp_luma = cbp_luma_arr[i];
             int cbp = cbp_luma | (cbp_chroma << 4);
+            int t8 = t8_mode && t8_arr && t8_arr[i];
 
             bool done_mb = false;
             if (sad[i] > intra_thresh) {
@@ -1454,7 +1488,8 @@ int hb264_encode_p_slice(
                     cabac_write_inter(*cb, ctx, mbx, mby,
                                       mvx_ - pmx, mvy_ - pmy,
                                       cbp_luma, cbp_chroma, lv16,
-                                      udc4, uac4, vdc4, vac4);
+                                      udc4, uac4, vdc4, vac4,
+                                      t8_mode, t8);
                 } else {
                     bw.ue(skip_run);
                     skip_run = 0;
@@ -1462,10 +1497,30 @@ int hb264_encode_p_slice(
                     bw.se(mvx_ - pmx);
                     bw.se(mvy_ - pmy);
                     bw.ue(CBP_INTER_INV[cbp]);
+                    if (t8_mode && (cbp & 15))
+                        bw.put_bit(t8 ? 1 : 0);  // transform_size_8x8_flag
                     if (cbp != 0) bw.se(0);  // mb_qp_delta
                     int b0y = mby * 4, b0x = mbx * 4;
                     int W4 = mb_w * 4;
-                    if (cbp_luma) {
+                    if (cbp_luma && t8) {
+                        // 8x8: four interleaved CAVLC sub-streams per
+                        // coded quadrant, already in scan order
+                        for (int k = 0; k < 16; k++) {
+                            int ridx = CODED_ORDER[k];
+                            int quad = (ridx / 8) * 2 + (ridx % 4) / 2;
+                            int by = b0y + ridx / 4, bx = b0x + ridx % 4;
+                            if (!((cbp_luma >> quad) & 1)) {
+                                ctx.nnz_l[by * W4 + bx] = 0;
+                                continue;
+                            }
+                            int nc = ctx.nc_luma(by, bx);
+                            const int16_t* sub = &luma_lv[(i * 16 + k) * 16];
+                            int32_t z[16];
+                            for (int t = 0; t < 16; t++) z[t] = sub[t];
+                            int tc = encode_residual(bw, z, nc, 16);
+                            ctx.nnz_l[by * W4 + bx] = tc;
+                        }
+                    } else if (cbp_luma) {
                         for (int k = 0; k < 16; k++) {
                             int ridx = CODED_ORDER[k];
                             int quad = (ridx / 8) * 2 + (ridx % 4) / 2;

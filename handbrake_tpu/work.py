@@ -57,8 +57,14 @@ def create_video_encoder(job: Job, width: int, height: int,
                     (job.encoder_options or "").split(":") if "=" in kv)
         cabac = (job.encoder_profile in ("main", "high")
                  or opts.get("cabac", "0") == "1")
+        # x264 defaults: in-loop deblocking on (no-deblock opts out);
+        # High profile adds the 8x8 transform — all run in the device path
+        deblock = opts.get("deblock", "1") != "0"
+        t8 = (job.encoder_profile == "high"
+              or opts.get("8x8dct", "0") == "1")
         cfg = EncoderConfig(
             width=width, height=height, qp=qp, gop=gop, cabac=cabac,
+            deblock=deblock, transform8x8=t8,
             fps=(vrate.numerator, vrate.denominator), backend=backend)
         return H264Encoder(cfg)
     if job.vcodec in ("hevc_tpu", "x265", "hevc", "h265"):

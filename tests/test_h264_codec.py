@@ -610,3 +610,48 @@ def test_multiref_p_conformance():
     ours = NativeH264Decoder().decode(stream)
     for i in range(n):
         assert np.array_equal(np.asarray(ours[i][0]), dec[i][0]), i
+
+
+@pytest.mark.parametrize("cabac,deblock", [(False, False), (True, False),
+                                           (False, True), (True, True)])
+def test_device_transform8x8(cabac, deblock):
+    """8x8 transform in the DEVICE path (High profile): per-MB 4x4/8x8
+    RDO on device, CAVLC sub-streams / CABAC cat-5 residuals in the
+    native stage, composed with deblock — the full x264-default toolset
+    in one configuration (VERDICT r3 #1)."""
+    import jax
+    import ffdec
+    if not ffdec.available():
+        pytest.skip("libavcodec oracle unavailable")
+    rng = np.random.default_rng(0)
+    W, H, n = 96, 64, 6
+    yy, xx = np.mgrid[0:H + 64, 0:W + 64]
+    # smooth ramps: the 8x8 basis wins somewhere
+    base = np.clip(96 + 90 * np.sin(xx / 40.0) * np.cos(yy / 35.0)
+                   + rng.normal(0, 2, (H + 64, W + 64)), 0,
+                   255).astype(np.uint8)
+    frames = [(np.ascontiguousarray(base[4 + t:4 + t + H,
+                                         4 + 3 * t:4 + 3 * t + W]),
+               np.full((H // 2, W // 2), 110, np.uint8),
+               np.full((H // 2, W // 2), 140, np.uint8))
+              for t in range(n)]
+    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=30, gop=n,
+                                    backend="device", deblock=deblock,
+                                    cabac=cabac, transform8x8=True))
+    stream = b""
+    recons = []
+    for f in frames:
+        stream += enc.encode_frame(*f)
+        recons.append(np.array(jax.device_get(enc.recon_y), np.uint8))
+    # the 8x8 decision actually fires on this content
+    enc2 = H264Encoder(EncoderConfig(width=W, height=H, qp=30, gop=n,
+                                     backend="device", deblock=deblock,
+                                     cabac=cabac, transform8x8=True))
+    enc2.encode_frame(*frames[0])
+    p = enc2.begin_frame(*frames[1])
+    assert int(np.asarray(jax.device_get(p.dev["t8"])).sum()) > 0
+    enc2.finish_frame(p)
+    dec = ffdec.decode_yuv(stream, "h264")
+    assert len(dec) == n
+    for i in range(n):
+        assert np.array_equal(recons[i], dec[i][0]), i

@@ -44,13 +44,29 @@ def make_clip(w, h, n, seed=7):
 
 
 def run_h264(frames, w, h, qp, fps):
+    """The BENCHED configuration (bench.py): device path with
+    CABAC + deblock + 8x8 — the quality rows and the throughput rows now
+    measure the same encoder (VERDICT r3 #1)."""
     from handbrake_tpu.codecs.h264.encoder import EncoderConfig, H264Encoder
     from handbrake_tpu.codecs.h264.native_decoder import NativeH264Decoder
-    # best-RD toolset: Intra_4x4 + 8x8 transform + in-loop deblocking
-    # (x264 -medium defaults; see test_h264_codec.py conformance coverage)
+    enc = H264Encoder(EncoderConfig(width=w, height=h, qp=qp,
+                                    gop=len(frames), backend="device",
+                                    cabac=True, transform8x8=True,
+                                    deblock=True))
+    stream = b"".join(enc.encode_frame(*f) for f in frames)
+    dec = NativeH264Decoder().decode(stream)
+    return stream, dec
+
+
+def run_h264_host_i4(frames, w, h, qp, fps):
+    """Host walker with Intra_4x4 (not yet in the device path) — tracks
+    the remaining RD headroom vs the benched config."""
+    from handbrake_tpu.codecs.h264.encoder import EncoderConfig, H264Encoder
+    from handbrake_tpu.codecs.h264.native_decoder import NativeH264Decoder
     enc = H264Encoder(EncoderConfig(width=w, height=h, qp=qp,
                                     gop=len(frames), intra4x4=True,
-                                    transform8x8=True, deblock=True))
+                                    transform8x8=True, deblock=True,
+                                    backend="host"))
     stream = b"".join(enc.encode_frame(*f) for f in frames)
     dec = NativeH264Decoder().decode(stream)
     return stream, dec
@@ -93,8 +109,8 @@ def run_av1(frames, w, h, qp, fps):
     return stream, dec
 
 
-RUNNERS = {"h264": run_h264, "h264_b": run_h264_b, "hevc": run_hevc,
-           "av1": run_av1}
+RUNNERS = {"h264": run_h264, "h264_host_i4": run_h264_host_i4,
+           "h264_b": run_h264_b, "hevc": run_hevc, "av1": run_av1}
 
 
 def measure_anchors(frames, w, h, fps=30.0):
@@ -183,7 +199,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--size", default="320x192")
-    ap.add_argument("--codecs", default="h264,h264_b,hevc,av1")
+    ap.add_argument("--codecs", default="h264,h264_host_i4,h264_b,hevc,av1")
     ap.add_argument("--qps", default="22,28,34,40")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
