@@ -270,8 +270,20 @@ def _fetch_windows(refp, rup, rvp, mv_cy, mv_cx, mb_w, mb_h):
     wu = _onehot_select(subu, croff, ccoff, CWIN, CWIN)
     wv = _onehot_select(subv, croff, ccoff, CWIN, CWIN)
     n_mb = mb_w * mb_h
+    # zero-centred second candidate windows — STATIC slices (no one-hot):
+    # the 4x-decimated coarse stage is noise-deceivable on small motion,
+    # so the full-pel refine always also searches around mv = 0 (the
+    # zero-mv candidate every production encoder keeps).  Built from the
+    # padded planes directly (slicing the big subwindow tensors trips an
+    # XLA-TPU fusion-remover CHECK — tpu_trivial_fusion_remover bug).
+    wy0 = _overlap_subwindows(refp[PAD - 8:, PAD - 8:], 16, mb_h, mb_w, 2)
+    c0 = ((0 - 16) >> 3) + 16          # = 14: chroma origin for mv_c = 0
+    wu0 = _overlap_subwindows(rup[c0:, c0:], 8, mb_h, mb_w, 2)
+    wv0 = _overlap_subwindows(rvp[c0:, c0:], 8, mb_h, mb_w, 2)
     return (wy.reshape(n_mb, WIN, WIN), wu.reshape(n_mb, CWIN, CWIN),
-            wv.reshape(n_mb, CWIN, CWIN))
+            wv.reshape(n_mb, CWIN, CWIN),
+            wy0.reshape(n_mb, WIN, WIN), wu0.reshape(n_mb, CWIN, CWIN),
+            wv0.reshape(n_mb, CWIN, CWIN))
 
 
 # ---------------------------------------------------------------------------
@@ -423,27 +435,39 @@ def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None,
                       mode="edge")
         rvp = jnp.pad(ref_v.astype(jnp.int32), ((16, 32), (16, 24)),
                       mode="edge")
-        wy, wu, wv = _fetch_windows(refp, rup, rvp, mv_cy, mv_cx, mb_w, mb_h)
+        wy, wu, wv, wy0, wu0, wv0 = _fetch_windows(refp, rup, rvp,
+                                                   mv_cy, mv_cx,
+                                                   mb_w, mb_h)
 
-        # --- full-pel refine ±r (static slices of the windows) ---
+        # --- full-pel refine ±r over TWO centres: the coarse winner and
+        # the zero-mv candidate (static slices of both windows) ---
         cc = []
-        for dy in range(-r, r + 1):
-            for dx in range(-r, r + 1):
-                blk = wy[:, 8 + dy:24 + dy, 8 + dx:24 + dx]
-                sad = jnp.abs(blk - src_mb).sum((1, 2))
-                cc.append(sad + 3 * (abs(dx) + abs(dy)))
-        cc = jnp.stack(cc, 1)                       # (nMB, 49)
-        fbi = jnp.argmin(cc, axis=1)
+        for w_ in (wy, wy0):
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    blk = w_[:, 8 + dy:24 + dy, 8 + dx:24 + dx]
+                    sad = jnp.abs(blk - src_mb).sum((1, 2))
+                    cc.append(sad + 3 * (abs(dx) + abs(dy)))
+        cc = jnp.stack(cc, 1)                       # (nMB, 98)
+        fbi98 = jnp.argmin(cc, axis=1)
+        use0 = fbi98 >= side * side
+        fbi = fbi98 % (side * side)
         fdy = (fbi // side - r).astype(jnp.int32)
         fdx = (fbi % side - r).astype(jnp.int32)
+        mv_cy = jnp.where(use0, 0, mv_cy)
+        mv_cx = jnp.where(use0, 0, mv_cx)
+        wu = jnp.where(use0[:, None, None], wu0, wu)
+        wv = jnp.where(use0[:, None, None], wv0, wv)
 
         # aligned 24x24 window around the best full-pel position
-        # (one-hot select over the 49 static slices)
+        # (one-hot select over the 2x49 static slices)
         A = jnp.zeros((n_mb, 24, 24), jnp.int32)
-        for k in range(side * side):
-            dy, dx = k // side - r, k % side - r
-            sl = wy[:, 4 + dy:28 + dy, 4 + dx:28 + dx]
-            A = A + jnp.where((fbi == k)[:, None, None], sl, 0)
+        for ci, w_ in enumerate((wy, wy0)):
+            for k in range(side * side):
+                dy, dx = k // side - r, k % side - r
+                sl = w_[:, 4 + dy:28 + dy, 4 + dx:28 + dx]
+                A = A + jnp.where((fbi98 == ci * side * side + k)
+                                  [:, None, None], sl, 0)
 
         # --- quarter-pel refine: 25 candidates on recomputed sub-pel grids
         phg = _subpel_preds(A)
