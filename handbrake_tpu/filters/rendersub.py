@@ -78,7 +78,18 @@ class RenderSubFilter(Filter):
         return self.fi
 
     def queue_subtitle(self, sub: Buffer):
-        """Feed one subtitle event (RGBA bitmap + rect + pts/stop)."""
+        """Feed one subtitle event (RGBA bitmap + rect + pts/stop), or a
+        clear marker (sub_clear=True): bitmap formats like PGS replace
+        the whole screen per display set — a marker retires every event
+        older than its pts."""
+        if getattr(sub, "sub_clear", False):
+            cut = sub.pts if sub.pts is not None else 0
+            for e in self.events:
+                if e.stop is None and (e.pts or 0) < cut:
+                    e.stop = cut
+            self.events = [e for e in self.events
+                           if e.stop is None or e.stop > cut]
+            return
         self.events.append(sub)
 
     def work(self, buf: Buffer) -> list:

@@ -116,6 +116,8 @@ class SyncCore:
     # -- output side ---------------------------------------------------------
     def _ready(self) -> bool:
         for st in self.streams:
+            if st.kind == "subtitle":
+                continue      # sparse: never gates the pipeline
             if not st.eof and len(st.queue) < 2:
                 return False
         return True
@@ -233,7 +235,8 @@ class SyncCore:
             for st in self.streams:
                 if not st.queue:
                     continue
-                if len(st.queue) < 2 and not st.eof:
+                if len(st.queue) < 2 and not st.eof \
+                        and st.kind != "subtitle":
                     best = None
                     break
                 if best is None or st.queue[0].pts < best.queue[0].pts:

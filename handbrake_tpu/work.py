@@ -170,14 +170,26 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
             sample_rate=ti.sample_rate if pcm else None,
             channels=max(1, ti.channels))
 
-    # ---- subtitles (SRT import; in-stream tracks follow) ----
+    # ---- subtitles (SRT import + in-stream bitmap tracks) ----
     sub_sel = []              # (key, SubtitleJobTrack, [SubEvent])
+    sdecs = {}                # source track idx -> (key, PgsDecoder)
+    sub_srcs = [i for i, t in enumerate(src.tracks)
+                if t.kind == "subtitle"]
     for k, sspec in enumerate(job.subtitles):
         if sspec.import_file:
             from .subtitles import parse_srt
             with open(sspec.import_file, "rb") as f:
                 events = parse_srt(f.read(), offset_ms=sspec.offset)
             sub_sel.append((k, sspec, events))
+        elif 0 <= sspec.track < len(sub_srcs):
+            sti = src.tracks[sub_srcs[sspec.track]]
+            if sti.codec == "pgs":
+                # PGS bitmap decode (decavsub.c:739 personality)
+                from .subtitles.pgs import PgsDecoder
+                sdecs[sub_srcs[sspec.track]] = (k, PgsDecoder())
+            else:
+                log(f"subtitle codec {sti.codec!r}: no decoder — "
+                    "track ignored")
     s_sync = {}
     for k, sspec, events in sub_sel:
         s_sync[k] = sync.add_stream("subtitle", sid=_SUB_SID0 + k)
@@ -188,7 +200,11 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
             b.stream_id = _SUB_SID0 + k
             sync.queue(s_sync[k], b)
         sync.set_eof(s_sync[k])
+    for trk, (k, _dec) in sdecs.items():
+        s_sync[k] = sync.add_stream("subtitle", sid=_SUB_SID0 + k)
     sub_specs = {k: sspec for k, sspec, _ in sub_sel}
+    sub_specs.update({k: job.subtitles[k] for _t, (k, _d) in
+                      sdecs.items()})
 
     # ---- filters ----
     fi = FilterInit(geometry=Geometry(
@@ -279,7 +295,8 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
     reader = _ReaderStage(it, die, pause)
     reader.fifo_out = fifo_raw
     decsync = _DecodeSyncStage(video_track, vdec, adecs, sync, v_sync,
-                               a_sync, stats, vcodec=vti.codec)
+                               a_sync, stats, vcodec=vti.codec,
+                               sdecs=sdecs, s_sync=s_sync)
     decsync.fifo_in, decsync.fifo_out = fifo_raw, fifo_sync
     gshards = int(getattr(job, "gop_parallel", 0) or 0)
     if gshards > 1 and job.vcodec not in ("h264_tpu", "x264", "h264"):
@@ -343,7 +360,7 @@ class _DecodeSyncStage(WorkObject):
     name = "decode+sync"
 
     def __init__(self, video_track, vdec, adecs, sync, v_sync, a_sync,
-                 stats, vcodec=""):
+                 stats, vcodec="", sdecs=None, s_sync=None):
         super().__init__()
         self.video_track = video_track
         self.vdec = vdec
@@ -353,7 +370,22 @@ class _DecodeSyncStage(WorkObject):
         self.a_sync = a_sync
         self.stats = stats
         self.vcodec = vcodec
+        self.sdecs = sdecs or {}
+        self.s_sync = s_sync or {}
         self._hdr: dict = {}       # static + pending per-frame metadata
+
+    def _emit_sub(self, key, ev):
+        """Queue one bitmap event (or clear marker) immediately: a PGS
+        display set replaces the screen, events persist until the next
+        set (render_sub's clear semantics)."""
+        b = Buffer(track_kind="subtitle", pts=ev.pts, stop=None)
+        if ev.rgba is None:
+            b.sub_clear = True
+        else:
+            b.planes = [ev.rgba]
+            b.rect = (ev.x, ev.y)
+        b.stream_id = _SUB_SID0 + key
+        self.sync.queue(self.s_sync[key], b)
 
     def work(self, buf):
         if buf.is_eof():
@@ -403,6 +435,10 @@ class _DecodeSyncStage(WorkObject):
         elif trk in self.adecs:
             for ab in self.adecs[trk].feed(buf):
                 self.sync.queue(self.a_sync[trk], ab)
+        elif trk in self.sdecs and buf.data is not None:
+            key, dec = self.sdecs[trk]
+            for ev in dec.feed(bytes(buf.data), buf.pts or 0):
+                self._emit_sub(key, ev)
         return self.sync.poll()
 
 
@@ -568,6 +604,11 @@ class _EncodeStage(WorkObject):
             if spec is None:
                 return []
             if spec.burn:
+                if getattr(buf, "sub_clear", False) \
+                        or buf.planes is not None:
+                    # bitmap event / clear marker (PGS): blend layer
+                    self.graph.queue_subtitle(buf)
+                    return []
                 from .subtitles.raster import render_text_rgba
                 w, h = self.out_wh
                 rgba, (x0, y0) = render_text_rgba(
