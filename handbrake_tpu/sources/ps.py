@@ -46,8 +46,10 @@ class PSDemuxer:
         self._scan()
 
     # -- low-level walk ----------------------------------------------------
-    def _pes_iter(self, start_byte=0):
-        """Yield (stream_id, substream_id|None, pts|None, payload)."""
+    def _pes_iter(self, start_byte=0, with_meta=False):
+        """Yield (stream_id, substream_id|None, pts|None, payload[,
+        lpcm_header_byte]) — the meta slot carries byte 5 of a DVD LPCM
+        substream preamble (quant/rate/channels, declpcm.c layout)."""
         f = self.f
         f.seek(start_byte)
         buf = b""
@@ -111,15 +113,21 @@ class PSDemuxer:
                 continue
             pts, payload = self._parse_pes_body(body)
             sub = None
+            meta = None
             if sid == PRIVATE1 and payload:
                 sub = payload[0]
                 if 0x80 <= sub <= 0x87:               # AC-3: 3 more bytes
                     payload = payload[4:]
                 elif 0xA0 <= sub <= 0xAF:             # LPCM: 6 more bytes
+                    if len(payload) > 5:
+                        meta = payload[5]
                     payload = payload[7:]
                 else:
                     payload = payload[1:]
-            yield sid, sub, pts, payload
+            if with_meta:
+                yield sid, sub, pts, payload, meta
+            else:
+                yield sid, sub, pts, payload
 
     @staticmethod
     def _parse_pes_body(body: bytes):
@@ -150,14 +158,17 @@ class PSDemuxer:
         seen: dict = {}
         first_pts: dict = {}
         last_pts: dict = {}
+        lpcm_hdrs: dict = {}
         n = 0
-        for sid, sub, pts, payload in self._pes_iter():
+        for sid, sub, pts, payload, meta in self._pes_iter(with_meta=True):
             n += 1
             if n > 4000 and seen:
                 break
             key = (sid, sub)
             if key not in seen:
                 seen[key] = bytearray()
+            if meta is not None and key not in lpcm_hdrs:
+                lpcm_hdrs[key] = meta
             if len(seen[key]) < (1 << 17):
                 seen[key] += payload
             if pts is not None:
@@ -180,6 +191,19 @@ class PSDemuxer:
                 return "audio", "lpcm"
             return None, None
 
+        # DVD LPCM audio frame header (declpcm.c:410 role): byte 5 of the
+        # substream preamble carries quant/rate/channels
+        self._lpcm_hdr = {}
+        for key, hdr in lpcm_hdrs.items():
+            quant = (hdr >> 6) & 3
+            rate = (hdr >> 4) & 3
+            ch = (hdr & 7) + 1
+            self._lpcm_hdr[key] = {
+                "bits": {0: 16, 1: 20, 2: 24}.get(quant, 16),
+                "rate": {0: 48000, 1: 96000, 2: 44100,
+                         3: 32000}.get(rate, 48000),
+                "channels": ch}
+
         ordered = sorted(seen.items(),
                          key=lambda kv: 0 if 0xE0 <= kv[0][0] <= 0xEF
                          else 1)
@@ -188,6 +212,11 @@ class PSDemuxer:
             if kind is None:
                 continue
             ti = TrackInfo(kind=kind, codec=codec)
+            if codec == "lpcm" and key in self._lpcm_hdr:
+                h = self._lpcm_hdr[key]
+                ti.sample_rate = h["rate"]
+                ti.channels = h["channels"]
+                ti.extradata = bytes([h["bits"]])
             self._sid_to_track[key] = len(self.tracks)
             self.tracks.append(ti)
         # the head scan only covers the first few seconds of a real VOB;

@@ -681,14 +681,42 @@ class _NullMux:
 # audio stages (v1: PCM decode + PCM/copy output; AAC encoder follows)
 # ---------------------------------------------------------------------------
 class _PcmDecoder:
+    """PCM-in-container (little-endian s16) and DVD LPCM
+    (declpcm.c:410 role: big-endian, 16/20/24-bit; the PS demuxer parses
+    the substream header into TrackInfo + a bits byte in extradata)."""
+
     def __init__(self, ti):
         self.ti = ti
+        self.dvd = ti.codec == "lpcm"
+        self.bits = (ti.extradata[0] if self.dvd and ti.extradata
+                     else 16)
+        self._rem = b""
 
     def feed(self, buf: Buffer) -> list:
         if buf.data is None:
             return []
-        pcm = np.frombuffer(buf.data, "<i2").astype(np.float32) / 32768.0
-        pcm = pcm.reshape(-1, max(1, self.ti.channels))
+        ch = max(1, self.ti.channels)
+        if not self.dvd:
+            pcm = np.frombuffer(buf.data, "<i2").astype(np.float32) / 32768.0
+        else:
+            data = self._rem + bytes(buf.data)
+            if self.bits == 16:
+                n = len(data) // (2 * ch) * (2 * ch)
+                self._rem = data[n:]
+                pcm = np.frombuffer(data[:n], ">i2").astype(
+                    np.float32) / 32768.0
+            else:
+                # DVD 20/24-bit group: per 2-sample-pair group, the MSB
+                # 16 bits of 2*ch samples, then the LSB tail bytes
+                gsz = 2 * ch * 2 + (ch if self.bits == 24 else ch // 2 or 1)
+                n = len(data) // gsz * gsz
+                self._rem = data[n:]
+                g = np.frombuffer(data[:n], np.uint8).reshape(-1, gsz)
+                hi = g[:, :2 * ch * 2].reshape(-1, 2 * ch, 2)
+                s16 = (hi[:, :, 0].astype(np.int32) << 8) | hi[:, :, 1]
+                s16 = np.where(s16 >= 32768, s16 - 65536, s16)
+                pcm = (s16 / 32768.0).astype(np.float32).reshape(-1)
+        pcm = pcm.reshape(-1, ch)
         out = Buffer(track_kind="audio").copy_props(buf)
         out.planes = [pcm]
         out.data = None

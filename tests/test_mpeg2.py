@@ -155,3 +155,76 @@ def test_vob_ps_transcode_end_to_end(tmp_path):
                        - ref[i][0].astype(np.float64)) ** 2)
         ps.append(10 * np.log10(255 ** 2 / max(mse, 1e-9)))
     assert np.mean(ps) > 35, np.mean(ps)
+
+
+def test_vob_lpcm_audio_track(tmp_path):
+    """DVD LPCM in private-stream-1 (declpcm.c:410 role): the PS demuxer
+    parses the substream header (rate/bits/channels) and the decoder
+    produces big-endian PCM planes."""
+    from handbrake_tpu.sources.ps import PSDemuxer
+    from handbrake_tpu.sources.common import TrackInfo
+    from handbrake_tpu.work import _PcmDecoder
+    from handbrake_tpu.core.buffer import Buffer
+
+    if not ffvideo.available():
+        pytest.skip("libavcodec oracle unavailable")
+    W, H, n = 96, 64, 6
+    frames = _clip(W, H, n)
+    enc = ffvideo.FFVideoEncoder("mpeg2video", W, H, 30,
+                                 bit_rate=1_000_000, opts={"bf": 0})
+    vpkts = enc.encode(frames)
+
+    sr = 48000
+    t = np.arange(n * 1600) / sr
+    tone = np.clip(0.5 * np.sin(2 * np.pi * 440 * t) * 32767, -32768,
+                   32767).astype(np.int16)
+    stereo = np.stack([tone, tone // 2], 1)
+
+    out = bytearray()
+    pts = 0
+    audio_chunks = np.array_split(stereo, n)
+    for k, pkt in enumerate(vpkts):
+        body = bytearray(b"\x80\x80\x05")
+        p = pts
+        body += bytes([0x21 | ((p >> 29) & 0x0E), (p >> 22) & 0xFF,
+                       0x01 | ((p >> 14) & 0xFE), (p >> 7) & 0xFF,
+                       0x01 | ((p << 1) & 0xFE)])
+        body += pkt
+        out += b"\x00\x00\x01\xe0" + len(body).to_bytes(2, "big") + body
+        # LPCM PES: substream 0xA0, 6-byte header: frames, 1st AU ptr,
+        # emphasis byte, quant/rate/ch byte (16-bit, 48k, 2ch), drc
+        au = audio_chunks[k].byteswap().tobytes()  # big-endian
+        abody = bytearray(b"\x80\x80\x05")
+        abody += bytes([0x21 | ((p >> 29) & 0x0E), (p >> 22) & 0xFF,
+                        0x01 | ((p >> 14) & 0xFE), (p >> 7) & 0xFF,
+                        0x01 | ((p << 1) & 0xFE)])
+        abody += bytes([0xA0, 1, 0x00, 0x04, 0x00,
+                        (0 << 6) | (0 << 4) | 1, 0x80]) + au
+        out += b"\x00\x00\x01\xbd" + len(abody).to_bytes(2, "big") + abody
+        pts += 3000
+    vob = str(tmp_path / "lpcm.vob")
+    with open(vob, "wb") as f:
+        f.write(b"\x00\x00\x01\xba" + bytes([0x44, 0, 4, 0, 4, 1, 0, 1,
+                                             0x89, 0xF8]))
+        f.write(bytes(out))
+
+    d = PSDemuxer(vob)
+    kinds = {(ti.kind, ti.codec) for ti in d.tracks}
+    assert ("audio", "lpcm") in kinds
+    ati = next(ti for ti in d.tracks if ti.codec == "lpcm")
+    assert ati.sample_rate == 48000
+    assert ati.channels == 2
+    assert ati.extradata == b"\x10"          # 16-bit
+
+    atrk = d.tracks.index(ati)
+    dec = _PcmDecoder(ati)
+    got = []
+    for trk, b in d.packets():
+        if trk == atrk:
+            got += [np.asarray(o.planes[0]) for o in dec.feed(b)]
+    pcm = np.concatenate(got, 0)
+    ref = stereo.astype(np.float32) / 32768.0
+    m = min(len(pcm), len(ref))
+    assert m > 1600 * (n - 1)
+    assert np.abs(pcm[:m] - ref[:m]).max() < 1e-4
+    d.close()
