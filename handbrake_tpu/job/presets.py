@@ -189,6 +189,131 @@ def builtin_presets() -> List[dict]:
         _preset("VP9 MKV 2160p60 4K", "VP9 4K placeholder", w=3840, h=2160,
                 vcodec="hevc_tpu", quality=28, mux="mkv", fps=60),
     ]
+    hq_extra = [
+        _preset("HQ 2160p60 4K HEVC Surround", "High quality 4K HEVC",
+                w=3840, h=2160, vcodec="hevc_tpu", quality=22,
+                preset_speed="slow", fps=60, abitrate=384,
+                amixdown="5point1"),
+        _preset("HQ 1080p30 HEVC Surround", "High quality 1080p HEVC",
+                w=1920, h=1080, vcodec="hevc_tpu", quality=21,
+                preset_speed="slow", fps=30, abitrate=384,
+                amixdown="5point1"),
+        _preset("HQ 576p25 Surround", "High quality PAL", w=720, h=576,
+                quality=20, preset_speed="slow", fps=25, abitrate=384,
+                amixdown="5point1"),
+        _preset("Super HQ 2160p60 4K HEVC Surround", "Max quality 4K HEVC",
+                w=3840, h=2160, vcodec="hevc_tpu", quality=20,
+                preset_speed="veryslow", fps=60, abitrate=448,
+                amixdown="5point1"),
+        _preset("Super HQ 576p25 Surround", "Max quality PAL", w=720,
+                h=576, quality=18, preset_speed="veryslow", fps=25,
+                abitrate=448, amixdown="5point1"),
+        _preset("Super HQ 480p30 Surround", "Max quality SD", w=720,
+                h=480, quality=18, preset_speed="veryslow", fps=30,
+                abitrate=448, amixdown="5point1"),
+    ]
+    web_extra = [
+        _preset("Vimeo YouTube HQ 2160p60 4K", "Upload 4K HQ", w=3840,
+                h=2160, vbitrate=40000, quality=None, preset_speed="slow",
+                fps=60, web_optimized=True),
+        _preset("Vimeo YouTube HQ 1440p60 2.5K", "Upload 1440p HQ",
+                w=2560, h=1440, vbitrate=20000, quality=None,
+                preset_speed="slow", fps=60, web_optimized=True),
+        _preset("Vimeo YouTube HQ 1080p60", "Upload 1080p HQ", w=1920,
+                h=1080, vbitrate=12000, quality=None, preset_speed="slow",
+                fps=60, web_optimized=True),
+        _preset("Vimeo YouTube HQ 720p60", "Upload 720p HQ", w=1280,
+                h=720, vbitrate=6000, quality=None, preset_speed="slow",
+                fps=60, web_optimized=True),
+        _preset("Social 8 MB 3 Minutes 360p30", "Tiny size-capped",
+                w=640, h=360, vbitrate=280, quality=None,
+                preset_speed="medium", fps=30, web_optimized=True),
+        _preset("Social 50 MB 5 Minutes 480p30", "Mid size-capped",
+                w=720, h=480, vbitrate=1100, quality=None,
+                preset_speed="medium", fps=30, web_optimized=True),
+        _preset("Social 100 MB 10 Minutes 480p30", "Long size-capped",
+                w=720, h=480, vbitrate=1100, quality=None,
+                preset_speed="medium", fps=30, web_optimized=True),
+    ]
+    devices_extra = [
+        _preset("Apple 1080p30 Surround", "Apple 1080p30", w=1920, h=1080,
+                quality=22, fps=30, abitrate=384, amixdown="5point1",
+                web_optimized=True),
+        _preset("Apple 720p30 Surround", "Apple 720p", w=1280, h=720,
+                quality=22, fps=30, abitrate=384, amixdown="5point1",
+                web_optimized=True),
+        _preset("Apple 540p30 Surround", "Apple 540p", w=960, h=540,
+                quality=22, fps=30, abitrate=256, amixdown="5point1",
+                web_optimized=True),
+        _preset("Apple 240p30", "Apple 240p", w=426, h=240, quality=22,
+                fps=30, abitrate=128, web_optimized=True),
+        _preset("Android 576p25", "Android PAL", w=720, h=576, quality=22,
+                fps=25),
+        _preset("Android 480p30", "Android SD", w=720, h=480, quality=22,
+                fps=30),
+        _preset("Amazon Fire 1080p30 Surround", "Fire 1080p", w=1920,
+                h=1080, quality=22, fps=30, abitrate=384,
+                amixdown="5point1"),
+        _preset("Amazon Fire 720p30", "Fire 720p", w=1280, h=720,
+                quality=22, fps=30),
+        _preset("Chromecast 1080p30 Surround", "Chromecast 1080p30",
+                w=1920, h=1080, quality=22, fps=30, abitrate=384,
+                amixdown="5point1"),
+        _preset("Playstation 2160p60 4K Surround", "PS 4K", w=3840,
+                h=2160, quality=24, fps=60, abitrate=384,
+                amixdown="5point1"),
+        _preset("Playstation 720p30", "PS 720p", w=1280, h=720,
+                quality=22, fps=30),
+        _preset("Playstation 540p30", "PS 540p", w=960, h=540, quality=22,
+                fps=30),
+        _preset("Roku 1080p30 Surround", "Roku 1080p", w=1920, h=1080,
+                quality=22, fps=30, abitrate=384, amixdown="5point1"),
+        _preset("Roku 720p30 Surround", "Roku 720p", w=1280, h=720,
+                quality=22, fps=30, abitrate=384, amixdown="5point1"),
+        _preset("Roku 576p25", "Roku PAL", w=720, h=576, quality=22,
+                fps=25),
+        _preset("Roku 480p30", "Roku SD", w=720, h=480, quality=22,
+                fps=30),
+        _preset("Xbox 720p30", "Xbox 720p", w=1280, h=720, quality=22,
+                fps=30),
+    ]
+    mkv_extra = [
+        _preset("AV1 MKV 1080p30", "AV1 1080p", w=1920, h=1080,
+                vcodec="av1_tpu", quality=28, mux="mkv", fps=30),
+        _preset("AV1 MKV 720p30", "AV1 720p", w=1280, h=720,
+                vcodec="av1_tpu", quality=28, mux="mkv", fps=30),
+        _preset("H.265 MKV 720p30", "HEVC 720p", w=1280, h=720,
+                vcodec="hevc_tpu", quality=23, mux="mkv", fps=30),
+        _preset("H.265 MKV 576p25", "HEVC PAL", w=720, h=576,
+                vcodec="hevc_tpu", quality=23, mux="mkv", fps=25),
+        _preset("H.265 MKV 480p30", "HEVC SD", w=720, h=480,
+                vcodec="hevc_tpu", quality=23, mux="mkv", fps=30),
+        _preset("H.264 MKV 576p25", "H.264 PAL", w=720, h=576, quality=22,
+                mux="mkv", fps=25),
+        _preset("H.265 10-bit MKV 2160p60 4K", "HEVC Main-10 4K",
+                w=3840, h=2160, vcodec="hevc_tpu", vprofile="main10",
+                quality=24, mux="mkv", fps=60),
+        _preset("H.265 10-bit MKV 1080p30", "HEVC Main-10 1080p",
+                w=1920, h=1080, vcodec="hevc_tpu", vprofile="main10",
+                quality=23, mux="mkv", fps=30),
+    ]
+    # our accelerator folder — the reference's Hardware (QSV/NVENC/VCN)
+    # category mapped to the TPU device path + GOP-parallel scale-out
+    tpu = [
+        _preset("TPU High 2160p60 4K", "Device-path High profile 4K",
+                w=3840, h=2160, quality=22, vprofile="high", fps=60),
+        _preset("TPU High 1080p30", "Device-path High profile 1080p",
+                w=1920, h=1080, quality=22, vprofile="high", fps=30),
+        _preset("TPU High 720p30", "Device-path High profile 720p",
+                w=1280, h=720, quality=22, vprofile="high", fps=30),
+        _preset("TPU HEVC 2160p60 4K", "Device-path HEVC 4K", w=3840,
+                h=2160, vcodec="hevc_tpu", quality=24, fps=60),
+        _preset("TPU HEVC 10-bit 2160p60 4K", "Device-path HEVC 10-bit",
+                w=3840, h=2160, vcodec="hevc_tpu", vprofile="main10",
+                quality=24, fps=60),
+        _preset("TPU AV1 2160p60 4K", "Device-path AV1 4K", w=3840,
+                h=2160, vcodec="av1_tpu", quality=28, fps=60),
+    ]
     production = [
         _preset("Production Max", "Max-quality mezzanine", quality=10,
                 preset_speed="veryslow", pfr=False),
@@ -200,10 +325,11 @@ def builtin_presets() -> List[dict]:
                 quality=24, preset_speed="ultrafast", pfr=False),
     ]
     return [
-        _folder("General", general),
-        _folder("Web", web),
-        _folder("Devices", devices),
-        _folder("Matroska", mkv),
+        _folder("General", general + hq_extra),
+        _folder("Web", web + web_extra),
+        _folder("Devices", devices + devices_extra),
+        _folder("Matroska", mkv + mkv_extra),
+        _folder("Hardware", tpu),
         _folder("Production", production),
     ]
 

@@ -174,8 +174,37 @@ def _decode_previews(src, video_track: int, preview_count: int) -> list:
                 count += 1
                 if got is not None and count >= 1:
                     break
-        except Exception:  # noqa: BLE001 — corrupt region: skip preview
+        except Exception:  # noqa: BLE001 — corrupt region: try harder
             pass
+        if got is None:
+            # retry ladder (scan.c:298-313): fresh decoder, read further
+            # past the corruption, tolerate per-packet decode errors
+            try:
+                dec2 = create_video_decoder(ti.codec, ti.extradata)
+                state = src.seek(pts) if hasattr(src, "seek") else None
+                it = src.packets(state) if state is not None \
+                    else src.packets()
+                tried = 0
+                for trk, buf in it:
+                    if trk != video_track:
+                        continue
+                    tried += 1
+                    if tried > 64:
+                        break
+                    try:
+                        if buf.planes is not None:
+                            got = tuple(np.asarray(p)
+                                        for p in buf.planes[:3])
+                            break
+                        frames = dec2.feed(buf)
+                        if frames:
+                            got = tuple(np.asarray(p)
+                                        for p in frames[-1].planes)
+                            break
+                    except Exception:  # noqa: BLE001 — keep reading
+                        continue
+            except Exception:  # noqa: BLE001 — give up on this preview
+                pass
         if got is not None:
             previews.append(got)
             seen += 1

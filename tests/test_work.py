@@ -557,3 +557,31 @@ def test_do_job_gop_parallel(tmp_path, y4m_src):
             off += ln
         dec = ffdec.decode_yuv(hdr + es, "h264")
         assert len(dec) == N
+
+
+def test_scan_retry_ladder(tmp_path):
+    """A corrupted region at a preview seek point must not lose the
+    preview: the scan retries with a fresh decoder and reads past the
+    damage (scan.c:298-313 'try harder' analog)."""
+    from handbrake_tpu.codecs.h264.encoder import EncoderConfig, H264Encoder
+    from handbrake_tpu.mux.mp4 import MP4Writer
+    from handbrake_tpu.scan import scan_title
+
+    src_path = str(tmp_path / "dmg.mp4")
+    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=28, gop=4))
+    w = MP4Writer(src_path)
+    vi = w.add_video_track(codec="h264", width=W, height=H)
+    base = (np.add.outer(np.arange(H), np.arange(W)) * 3 % 256).astype(
+        np.uint8)
+    for i in range(N):
+        au = enc.encode_frame(np.roll(base, i, axis=1),
+                              np.full((H // 2, W // 2), 110, np.uint8),
+                              np.full((H // 2, W // 2), 60, np.uint8))
+        if i == 5:
+            au = au[:len(au) // 2] + b"\xde\xad" * 8   # corrupt mid-GOP
+        w.write_sample(vi, au, duration=3003, sync=(i % 4 == 0),
+                       annexb=True)
+    w.finalize()
+    t = scan_title(src_path, preview_count=4)
+    assert t is not None
+    assert t.width == W and t.height == H
