@@ -294,8 +294,10 @@ def apply_cli_overrides(job: Job, args) -> Job:
         offs = (args.srt_offset or "0").split(",")
         job.subtitles = []
         for i, f in enumerate(files):
+            ext = f.rsplit(".", 1)[-1].lower()
+            fmt = {"ass": "SSA", "ssa": "SSA", "vtt": "VTT"}.get(ext, "SRT")
             job.subtitles.append(SubtitleJobTrack(
-                track=-1, import_file=f, import_format="SRT",
+                track=-1, import_file=f, import_format=fmt,
                 language=langs[i] if i < len(langs) else "und",
                 offset=int(offs[i]) if i < len(offs) else 0,
                 burn=(args.srt_burn == i + 1),

@@ -177,9 +177,11 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
                 if t.kind == "subtitle"]
     for k, sspec in enumerate(job.subtitles):
         if sspec.import_file:
-            from .subtitles import parse_srt
+            from .subtitles import parse_textsub
             with open(sspec.import_file, "rb") as f:
-                events = parse_srt(f.read(), offset_ms=sspec.offset)
+                events = parse_textsub(f.read(),
+                                       fmt=sspec.import_format,
+                                       offset_ms=sspec.offset)
             sub_sel.append((k, sspec, events))
         elif 0 <= sspec.track < len(sub_srcs):
             sti = src.tracks[sub_srcs[sspec.track]]

@@ -145,3 +145,85 @@ def test_burn_in_changes_pixels(tmp_path, srt_file, monkeypatch):
     assert max(diffs[3:6]) > 40, diffs        # text visibly burned
     # after the last cue only P-ref ripple remains (no text ⇒ ≪ 40)
     assert diffs[-1] < 40, diffs
+
+
+# -- SSA/ASS + WebVTT import (decssasub.c / IMPORTVTT roles) ---------------
+ASS = b"""[Script Info]
+Title: t
+ScriptType: v4.00+
+
+[V4+ Styles]
+Format: Name, Fontname
+Style: Default,Arial
+
+[Events]
+Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+Dialogue: 0,0:00:01.00,0:00:02.50,Default,,0,0,0,,Hello {\\i1}world{\\i0}
+Dialogue: 0,0:00:03.20,0:00:04.00,Default,,0,0,0,,Line one\\NLine two, with comma
+Comment: 0,0:00:05.00,0:00:06.00,Default,,0,0,0,,not shown
+"""
+
+VTT = b"""WEBVTT
+
+NOTE this block
+is skipped
+
+cue-1
+00:01.000 --> 00:02.500 position:50%
+Hello <b>world</b>
+
+00:00:03.200 --> 00:00:04.000
+Line one
+Line two
+"""
+
+
+def test_parse_ssa():
+    from handbrake_tpu.subtitles import parse_ssa
+    evs = parse_ssa(ASS)
+    assert len(evs) == 2
+    assert evs[0].pts == CLOCK and evs[0].stop == CLOCK * 5 // 2
+    assert evs[0].text == "Hello world"
+    assert evs[1].pts == 32 * CLOCK // 10
+    assert evs[1].text == "Line one\nLine two, with comma"
+
+
+def test_parse_vtt():
+    from handbrake_tpu.subtitles import parse_vtt
+    evs = parse_vtt(VTT)
+    assert len(evs) == 2
+    assert evs[0].pts == CLOCK and evs[0].stop == CLOCK * 5 // 2
+    assert evs[0].text == "Hello world"
+    assert evs[1].text == "Line one\nLine two"
+
+
+def test_parse_textsub_sniff():
+    from handbrake_tpu.subtitles import parse_textsub
+    assert parse_textsub(ASS)[0].text == "Hello world"     # sniffed SSA
+    assert parse_textsub(VTT)[0].text == "Hello world"     # sniffed VTT
+    assert parse_textsub(SRT, fmt="SRT")[0].text == "Hello world"
+    assert parse_textsub(ASS, fmt="SSA")[1].pts == 32 * CLOCK // 10
+
+
+def test_ass_import_end_to_end(tmp_path, monkeypatch):
+    """.ass import file flows through do_job into an MKV text track."""
+    monkeypatch.setenv("HB_TPU_DISABLE_DEVICE", "1")
+    from handbrake_tpu import work
+    from handbrake_tpu.job.schema import Job, SubtitleJobTrack
+    from handbrake_tpu.sources.mkv import MKVDemuxer
+    p = tmp_path / "subs.ass"
+    p.write_bytes(
+        b"[Events]\nFormat: Layer, Start, End, Style, Name, MarginL, "
+        b"MarginR, MarginV, Effect, Text\n"
+        b"Dialogue: 0,0:00:00.10,0:00:00.20,Default,,0,0,0,,First cue\n"
+        b"Dialogue: 0,0:00:00.23,0:00:00.30,Default,,0,0,0,,Second cue\n")
+    out = str(tmp_path / "o.mkv")
+    j = Job(path=_y4m(tmp_path), file=out, mux="mkv", quality=30.0)
+    j.subtitles = [SubtitleJobTrack(track=-1, import_file=str(p),
+                                    import_format="SSA", language="eng")]
+    work.do_job(j)
+    d = MKVDemuxer(out)
+    texts = [pkt.data for trk, pkt in d.packets()
+             if d.tracks[trk].kind == "subtitle"]
+    joined = b"|".join(texts)
+    assert b"First cue" in joined and b"Second cue" in joined
