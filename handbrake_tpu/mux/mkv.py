@@ -107,11 +107,12 @@ class MKVWriter:
         return len(self.tracks) - 1
 
     def add_subtitle_track(self, codec: str = "srt",
-                           language: str = "und") -> int:
+                           language: str = "und",
+                           private: bytes = b"") -> int:
         cid = {"srt": "S_TEXT/UTF8", "ass": "S_TEXT/ASS",
                "pgs": "S_HDMV/PGS", "vobsub": "S_VOBSUB"}[codec]
         t = MKTrack(len(self.tracks) + 1, "subtitle", cid,
-                    language=language)
+                    private=private, language=language)
         self.tracks.append(t)
         return len(self.tracks) - 1
 

@@ -189,6 +189,12 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
                 # PGS bitmap decode (decavsub.c:739 personality)
                 from .subtitles.pgs import PgsDecoder
                 sdecs[sub_srcs[sspec.track]] = (k, PgsDecoder())
+            elif sti.codec == "vobsub":
+                # DVD subpicture decode (decavsub VOBSUB personality)
+                from .subtitles.vobsub import (VobSubDecoder,
+                                               parse_idx_palette)
+                pal = parse_idx_palette(sti.extradata or b"")
+                sdecs[sub_srcs[sspec.track]] = (k, VobSubDecoder(pal))
             else:
                 log(f"subtitle codec {sti.codec!r}: no decoder — "
                     "track ignored")
