@@ -164,7 +164,7 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
     a_sync = {}
     for si, _spec in audio_sel:
         ti = src.tracks[si]
-        pcm = ti.codec in ("pcm_s16le", "lpcm", "flac", "aac")
+        pcm = ti.codec in ("pcm_s16le", "lpcm", "flac", "aac", "ac3")
         a_sync[si] = sync.add_stream(
             "audio", sid=si,
             sample_rate=ti.sample_rate if pcm else None,
@@ -810,6 +810,41 @@ class _AacPacketDecoder:
         return outs
 
 
+class _Ac3PacketDecoder:
+    """AC-3 decode (audio/ac3dec.py — decavcodec.c AC-3 personality
+    role): byte-stream sync on 0x0B77 syncframes, so DVD/TS packets may
+    split or batch frames.  Each 1536-sample output takes the packet
+    pts when a fresh packet starts a frame, else extrapolates."""
+
+    def __init__(self, ti):
+        from .audio.ac3dec import Ac3Decoder
+        self.dec = Ac3Decoder()
+        self.ti = ti
+        self._next_pts = None
+
+    def feed(self, buf: Buffer) -> list:
+        if buf.data is None:
+            return []
+        if buf.pts is not None and not self.dec._buf:
+            self._next_pts = buf.pts
+        frames = self.dec.feed(bytes(buf.data))
+        outs = []
+        for pcm in frames:
+            sr = max(1, self.dec.sample_rate)
+            dur = int(round(pcm.shape[1] * 90000 / sr))
+            out = Buffer(track_kind="audio").copy_props(buf)
+            out.pts = self._next_pts
+            out.duration = dur
+            out.stop = (self._next_pts + dur) \
+                if self._next_pts is not None else None
+            out.planes = [np.ascontiguousarray(pcm.T)]
+            out.data = None
+            outs.append(out)
+            if self._next_pts is not None:
+                self._next_pts += dur
+        return outs
+
+
 class _FlacPacketDecoder:
     """Streaming FLAC decode: one container packet = one FLAC frame
     (decavcodec.c audio personality role for FLAC inputs)."""
@@ -846,6 +881,8 @@ def _make_audio_decoder(ti):
             return _AacPacketDecoder(ti)
         except Exception as e:  # noqa: BLE001 — unsupported profile/rate
             log("aac: decode unavailable (%s) — passthrough only" % e)
+    if ti.codec == "ac3":
+        return _Ac3PacketDecoder(ti)
     return _CopyAudioDecoder()
 
 
