@@ -478,6 +478,13 @@ class Ac3Decoder:
             bndpsd[k - bndstrt] = v
         excite = np.zeros(51, np.int64)
         if not is_cpl:
+            # the LFE channel (7-bin) skips the lowcomp peek only at its
+            # final band — matching deployed decoders (libavcodec), which
+            # differ here from a literal "bndend != bin+3" spec reading
+            is_lfe = (start == 0 and end == 7)
+
+            def guard(b):
+                return not (is_lfe and b == 6)
             lowcomp = 0
             lowcomp = self._lowcomp(lowcomp, bndpsd[0], bndpsd[1], 0)
             excite[0] = bndpsd[0] - fgain - lowcomp
@@ -486,17 +493,17 @@ class Ac3Decoder:
             begin = 7
             fastleak = slowleak = 0
             for b in range(2, 7):
-                if bndend != b + 3:
+                if guard(b):
                     lowcomp = self._lowcomp(lowcomp, bndpsd[b],
                                             bndpsd[b + 1], b)
                 fastleak = int(bndpsd[b]) - fgain
                 slowleak = int(bndpsd[b]) - sgain
                 excite[b] = fastleak - lowcomp
-                if bndend != b + 3 and bndpsd[b] <= bndpsd[b + 1]:
+                if guard(b) and bndpsd[b] <= bndpsd[b + 1]:
                     begin = b + 1
                     break
             for b in range(begin, min(bndend, 22)):
-                if bndend != b + 3:
+                if guard(b):
                     lowcomp = self._lowcomp(lowcomp, bndpsd[b],
                                             bndpsd[b + 1], b)
                 fastleak = max(fastleak - fdecay,

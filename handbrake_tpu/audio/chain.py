@@ -51,6 +51,19 @@ class AudioChain:
     def _make_encoder(self):
         if self.codec == "flac":
             return FlacEncoder(self.sr_out, self.out_channels, 16)
+        if self.codec in ("ac3", "eac3"):
+            from .ac3enc import Ac3Encoder
+            if self.sr_out not in (48000, 44100, 32000):
+                self.sr_out = 48000
+            if self.out_channels not in (1, 2, 6):
+                from ..utils.logging import log
+                log("audio: AC-3 output is 1/2/5.1 — downmixing %d ch"
+                    % self.out_channels)
+                self.mixdown = "stereo" if self.out_channels < 6 \
+                    else "5point1"
+                self.out_channels = 2 if self.out_channels < 6 else 6
+            br = int(self.spec.bitrate or 192) * 1000
+            return Ac3Encoder(self.sr_out, self.out_channels, br)
         if self.codec in ("aac", "av_aac", "ca_aac"):
             from .aac import AACEncoder
             if self.sr_out not in (44100, 48000):
@@ -78,7 +91,8 @@ class AudioChain:
             return self.ti.codec
         return {"flac": "flac", "pcm": "pcm_s16le",
                 "pcm_s16le": "pcm_s16le", "aac": "aac", "av_aac": "aac",
-                "ca_aac": "aac"}.get(self.codec, "pcm_s16le")
+                "ca_aac": "aac", "ac3": "ac3",
+                "eac3": "ac3"}.get(self.codec, "pcm_s16le")
 
     def extradata(self, initial: bool = False) -> bytes:
         """Codec config for the muxer. ``initial=True`` (header written
@@ -95,6 +109,14 @@ class AudioChain:
             return bytes([0x80, 0, 0, len(si)]) + si
         if self.out_codec() == "aac" and self._enc is not None:
             return self._enc.audio_specific_config()
+        if self.out_codec() == "ac3" and self._enc is not None:
+            # dac3 box (ETSI TS 102 366 F.4): fscod/bsid/bsmod/acmod/
+            # lfeon/bit_rate_code packed into 3 bytes
+            e = self._enc
+            v = (e.fscod << 22) | (8 << 17) | (0 << 14) \
+                | (e.acmod << 11) | (e.lfeon << 10) \
+                | ((e.frmsizecod >> 1) << 5)
+            return v.to_bytes(3, "big")
         if self.is_passthrough():
             return self.ti.extradata
         return b""
@@ -132,6 +154,9 @@ class AudioChain:
         return b
 
     def _encode(self, pcm: np.ndarray) -> list:
+        if self.out_codec() == "ac3":
+            return [self._packet(fr, 1536)
+                    for fr in self._enc.encode(np.clip(pcm, -1, 1))]
         if self.out_codec() == "aac":
             out = []
             for au in self._enc.encode(np.clip(pcm, -1, 1)):
@@ -156,6 +181,8 @@ class AudioChain:
     def flush(self) -> list:
         if self.out_codec() == "aac" and self._enc is not None:
             return [self._packet(au, 1024) for au in self._enc.flush()]
+        if self.out_codec() == "ac3" and self._enc is not None:
+            return [self._packet(fr, 1536) for fr in self._enc.flush()]
         if self._enc is not None:
             n = len(self._enc._pending)
             data = self._enc.flush()

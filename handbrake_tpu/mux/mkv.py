@@ -231,9 +231,9 @@ class MKVWriter:
             return
         payload = uint_e(0xE7, self._cluster_ts) + bytes(self._cluster_buf)
         off = self.f.tell() - self._seg_payload_start
-        for i, (ts, tn) in enumerate(self._cues):
-            if len(self._cues[i]) == 2:
-                self._cues[i] = (ts, tn, off)
+        for i, entry in enumerate(self._cues):
+            if len(entry) == 2:            # 3-tuples already have their
+                self._cues[i] = (*entry, off)  # cluster offset patched
         self.f.write(elem(0x1F43B675, payload))
         self._cluster_buf = bytearray()
         self._cluster_ts = None

@@ -895,7 +895,7 @@ def _make_audio_encoder(spec, ti):
     from .audio.chain import AudioChain
     import copy as _copy
     spec = _copy.copy(spec)
-    if spec.encoder in ("opus", "vorbis", "mp3", "ac3", "eac3"):
+    if spec.encoder in ("opus", "vorbis", "mp3"):
         log(f"audio encoder {spec.encoder!r} not implemented natively yet; "
             f"encoding FLAC (lossless) instead")
         spec.encoder = "flac"
@@ -969,6 +969,8 @@ class _MuxAdapter:
                 xd = b""
                 if chain is not None and chain.out_codec() == "aac":
                     xd = chain.extradata()     # AudioSpecificConfig
+                elif chain is not None and chain.out_codec() == "ac3":
+                    xd = chain.extradata()     # dac3 payload
                 elif chain is not None and chain.is_passthrough():
                     xd = ti.extradata
                 self._amap[si] = self.w.add_audio_track(

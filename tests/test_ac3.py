@@ -31,9 +31,12 @@ def _signal(sr, ch, n, seed=2):
     rng = np.random.default_rng(seed)
     chans = []
     for c in range(ch):
-        f = 220 * (c + 1.3)
+        # channel 3 of a 5.1 layout is the LFE: band-limited by design
+        # (7 transform bins), so give it a proper low-frequency tone
+        f = 60.0 if (ch == 6 and c == 3) else 220 * (c + 1.3)
         chans.append(0.3 * np.sin(2 * np.pi * f * t)
-                     + 0.03 * rng.standard_normal(n))
+                     + (0.03 * rng.standard_normal(n)
+                        if f > 100 else 0.0))
     return np.stack(chans, 1).astype(np.float32)
 
 
@@ -192,4 +195,101 @@ def test_vob_ac3_transcode_to_aac(tmp_path):
     amp = np.hypot((mid * np.cos(2 * np.pi * 440 * tt)).mean() * 2,
                    (mid * np.sin(2 * np.pi * 440 * tt)).mean() * 2)
     assert 0.25 < amp < 0.55, amp
+    d.close()
+
+
+# ---------------------------------------------------------------------------
+# AC-3 encoder (audio/ac3enc.py — encavcodecaudio.c AC-3 personality)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("sr,ch,br,min_snr", [
+    (48000, 2, 192000, 20.0),
+    (48000, 1, 96000, 20.0),
+    (44100, 2, 192000, 20.0),
+    (48000, 6, 448000, 16.0),   # lean toolset: no coupling across 5 ch
+])
+def test_ac3_encoder_conformance(sr, ch, br, min_snr):
+    """Our AC-3 syncframes must decode in libavcodec (the consumer
+    ecosystem) AND in our own decoder, to the same PCM."""
+    if not ffaudio.available():
+        pytest.skip("libavcodec oracle unavailable")
+    _probe()
+    from handbrake_tpu.audio.ac3enc import Ac3Encoder
+    n = 1536 * 6
+    sig = _signal(sr, ch, n, seed=7)
+    enc = Ac3Encoder(sr, ch, br)
+    frames = enc.encode(sig)
+    assert len(frames) == 6
+    assert all(len(f) == enc.frame_bytes for f in frames)
+    ref = ffaudio.FFAudioDecoder("ac3").decode_packets(frames)
+    ref = np.concatenate(ref, 0) if isinstance(ref, list) else ref
+    assert ref.shape == (n, ch)
+    lag = 256                              # MDCT latency
+    m = n - lag
+    assert _snr(ref[lag:lag + m], sig[:m]) > min_snr
+    ours = Ac3Decoder().decode(b"".join(frames))
+    o = np.concatenate([f.T for f in ours], 0)
+    # no dither flags are set, so the two decodes agree numerically
+    assert _snr(o[:n], ref[:n]) > 80.0
+
+
+def test_do_job_aac_to_ac3(tmp_path):
+    """mp4 with AAC tone → do_job -E ac3 → mkv with an A_AC3 track that
+    libavcodec decodes back to the tone (DVD/AVR interchange path)."""
+    if not ffaudio.available():
+        pytest.skip("libavcodec oracle unavailable")
+    _probe()
+    from handbrake_tpu.audio.aac import AACEncoder
+    from handbrake_tpu.codecs.h264.encoder import (EncoderConfig,
+                                                   H264Encoder)
+    from handbrake_tpu.job.schema import Job, AudioJobTrack
+    from handbrake_tpu.mux.mp4 import MP4Writer
+    from handbrake_tpu.sources.probe import open_source
+    from handbrake_tpu import work
+
+    os.environ["HB_TPU_DISABLE_DEVICE"] = "1"
+    sr, W, H, N = 48000, 96, 64, 16
+    src_path = str(tmp_path / "src.mp4")
+    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=28, gop=8))
+    aenc = AACEncoder(sr, 2, quality=118)
+    w = MP4Writer(src_path)
+    vi = w.add_video_track(codec="h264", width=W, height=H)
+    ai = w.add_audio_track(codec="aac", sample_rate=sr, channels=2,
+                           extradata=aenc.audio_specific_config())
+    n_aud = (N * 3003 * sr // 90000 // 1024 + 2) * 1024
+    t = np.arange(n_aud) / sr
+    tone = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    aus = aenc.encode(np.stack([tone, tone * 0.7], 1)) + aenc.flush()
+    base = (np.add.outer(np.arange(H), np.arange(W)) * 3 % 256).astype(
+        np.uint8)
+    for i in range(N):
+        w.write_sample(vi, enc.encode_frame(
+            np.roll(base, i, 1), np.full((H // 2, W // 2), 110, np.uint8),
+            np.full((H // 2, W // 2), 60, np.uint8)),
+            duration=3003, sync=(i % 8 == 0), annexb=True)
+    for au in aus:
+        w.write_sample(ai, au, duration=1024)
+    w.finalize()
+
+    out = str(tmp_path / "out.mkv")
+    j = Job(path=src_path, file=out, mux="mkv", quality=28.0)
+    j.audio = [AudioJobTrack(track=0, encoder="ac3", mixdown="stereo",
+                             bitrate=192)]
+    stats = work.do_job(j)
+    assert not stats.get("error"), stats
+
+    d = open_source(out)
+    atrk = next(i for i, ti in enumerate(d.tracks)
+                if ti.kind == "audio")
+    assert d.tracks[atrk].codec == "ac3"
+    stream = b"".join(pkt.data for trk, pkt in d.packets()
+                      if trk == atrk)
+    got = ffaudio.FFAudioDecoder("ac3").decode_packets(
+        [stream[i:i + 1920] for i in range(0, len(stream), 1920)])
+    got = np.concatenate(got, 0) if isinstance(got, list) else got
+    g = got[2048:len(got) - 2048, 0].astype(np.float64)
+    assert len(g) > sr // 6
+    tt = np.arange(len(g)) / sr
+    amp = 2 * np.hypot((g * np.cos(2 * np.pi * 440 * tt)).mean(),
+                       (g * np.sin(2 * np.pi * 440 * tt)).mean())
+    assert 0.3 < amp < 0.5, amp
     d.close()

@@ -111,3 +111,27 @@ def test_mp4_chapters_and_metadata(tmp_path, encoded_frames):
     _check_with_cv2(path, ys)
     raw = open(path, "rb").read()
     assert b"chpl" in raw and b"test title" in raw
+
+
+def test_mkv_multi_cluster_cues(tmp_path, encoded_frames):
+    """Keyframes landing in later clusters must still get cue entries —
+    the cue-offset patch loop used to crash finalize() once earlier
+    entries had already been patched to 3-tuples."""
+    import cv2
+    frames, ys = encoded_frames
+    path = str(tmp_path / "long.mkv")
+    w = MKVWriter(path)
+    vi = w.add_video_track(codec="h264", width=W, height=H, fps=30.0)
+    # spread the 5 frames 6 s apart: every sample starts a new cluster,
+    # and frames 0 (IDR) + repeats land in different clusters
+    for rep in range(3):
+        for i, (data, sync) in enumerate(frames):
+            pts = (rep * len(frames) + i) * 6 * 90000
+            w.write_sample(vi, data, pts_90k=pts, duration_90k=3003,
+                           sync=(i == 0), annexb=True)
+    w.finalize()
+    cap = cv2.VideoCapture(path)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 15
