@@ -164,7 +164,8 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
     a_sync = {}
     for si, _spec in audio_sel:
         ti = src.tracks[si]
-        pcm = ti.codec in ("pcm_s16le", "lpcm", "flac", "aac", "ac3")
+        pcm = ti.codec in ("pcm_s16le", "lpcm", "flac", "aac", "ac3",
+                           "mp2")
         a_sync[si] = sync.add_stream(
             "audio", sid=si,
             sample_rate=ti.sample_rate if pcm else None,
@@ -845,6 +846,39 @@ class _Ac3PacketDecoder:
         return outs
 
 
+class _Mp2PacketDecoder:
+    """MPEG-1 Layer I/II audio decode (audio/mp2dec.py — the DVB/DVD
+    broadcast personality of decavcodec.c): byte-stream sync, 1152
+    (or 384) samples per frame, same pts policy as _Ac3PacketDecoder."""
+
+    def __init__(self, ti):
+        from .audio.mp2dec import Mp2Decoder
+        self.dec = Mp2Decoder()
+        self.ti = ti
+        self._next_pts = None
+
+    def feed(self, buf: Buffer) -> list:
+        if buf.data is None:
+            return []
+        if buf.pts is not None and not self.dec._buf:
+            self._next_pts = buf.pts
+        outs = []
+        for pcm in self.dec.feed(bytes(buf.data)):
+            sr = max(1, self.dec.sample_rate)
+            dur = int(round(pcm.shape[0] * 90000 / sr))
+            out = Buffer(track_kind="audio").copy_props(buf)
+            out.pts = self._next_pts
+            out.duration = dur
+            out.stop = (self._next_pts + dur) \
+                if self._next_pts is not None else None
+            out.planes = [pcm]
+            out.data = None
+            outs.append(out)
+            if self._next_pts is not None:
+                self._next_pts += dur
+        return outs
+
+
 class _FlacPacketDecoder:
     """Streaming FLAC decode: one container packet = one FLAC frame
     (decavcodec.c audio personality role for FLAC inputs)."""
@@ -883,6 +917,8 @@ def _make_audio_decoder(ti):
             log("aac: decode unavailable (%s) — passthrough only" % e)
     if ti.codec == "ac3":
         return _Ac3PacketDecoder(ti)
+    if ti.codec in ("mp2", "mp1", "mpa"):
+        return _Mp2PacketDecoder(ti)
     return _CopyAudioDecoder()
 
 

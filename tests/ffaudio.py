@@ -202,7 +202,7 @@ class FFAudioEncoder:
     """Encode float32 PCM with a bundled libavcodec encoder (e.g. aac)."""
 
     def __init__(self, codec="aac", sample_rate=44100, channels=2,
-                 bit_rate=128000):
+                 bit_rate=128000, sample_fmt="fltp"):
         a, u = _a(), _u()
         self.codec_name = codec
         self.codec = a.avcodec_find_encoder_by_name(codec.encode())
@@ -215,8 +215,10 @@ class FFAudioEncoder:
         u.av_opt_set_int(C.c_void_p(self.ctx), b"b", bit_rate, 0)
         u.av_channel_layout_default(
             C.c_void_p(self.ctx + _ctx_off["ch_layout"]), channels)
-        # sample_fmt: probe int fields near sample_rate; aac wants fltp(8)
-        self.sample_fmt = AV_SAMPLE_FMT_FLTP
+        # sample_fmt: probe int fields near sample_rate; aac wants
+        # fltp(8); mp2/pcm-style encoders want packed s16(1)
+        self.sample_fmt = {"fltp": AV_SAMPLE_FMT_FLTP,
+                           "s16": 1}[sample_fmt]
         opened = False
         for delta in (4, 8, 12, 16, -4, 20):
             off = off_sr + delta
@@ -296,9 +298,16 @@ class FFAudioEncoder:
             if u.av_frame_get_buffer(C.c_void_p(f), 0) < 0:
                 raise RuntimeError("av_frame_get_buffer failed")
             datap = C.cast(f, C.POINTER(C.c_void_p * 8)).contents
-            for c in range(self.channels):
-                ch = np.ascontiguousarray(chunk[:, c], np.float32)
-                C.memmove(datap[c], ch.ctypes.data, fs * 4)
+            if self.sample_fmt == 1:       # packed s16, interleaved
+                i16 = np.ascontiguousarray(
+                    np.clip(chunk * 32767.0, -32768, 32767), np.float32
+                ).astype("<i2")
+                C.memmove(datap[0], i16.ctypes.data,
+                          fs * self.channels * 2)
+            else:
+                for c in range(self.channels):
+                    ch = np.ascontiguousarray(chunk[:, c], np.float32)
+                    C.memmove(datap[c], ch.ctypes.data, fs * 4)
             if a.avcodec_send_frame(C.c_void_p(self.ctx),
                                     C.c_void_p(f)) < 0:
                 raise RuntimeError("send_frame failed")
