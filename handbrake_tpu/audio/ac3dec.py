@@ -62,19 +62,28 @@ def frame_size(fscod: int, frmsizecod: int) -> int:
 
 
 def parse_frame_header(data: bytes, off: int = 0):
-    """→ (fscod, frmsizecod, acmod, lfeon, size_bytes) or None."""
+    """→ (fscod, frmsizecod, acmod, bsid, size_bytes) or None.
+    Handles both AC-3 (bsid ≤ 10) and E-AC-3 (11 < bsid ≤ 16) framing —
+    bsid sits at bits 40-44 in both."""
     if len(data) - off < 7 or data[off] != 0x0B or data[off + 1] != 0x77:
         return None
-    fscod = data[off + 4] >> 6
-    frmsizecod = data[off + 4] & 0x3F
-    if fscod == 3 or frmsizecod >= 38:
-        return None
     bsid = data[off + 5] >> 3
-    if bsid > 10:                        # E-AC-3 or unknown
-        return None
-    acmod = data[off + 6] >> 5
-    # lfeon position depends on acmod option fields; resolved in decode
-    return fscod, frmsizecod, acmod, bsid, frame_size(fscod, frmsizecod)
+    if bsid <= 10:
+        fscod = data[off + 4] >> 6
+        frmsizecod = data[off + 4] & 0x3F
+        if fscod == 3 or frmsizecod >= 38:
+            return None
+        acmod = data[off + 6] >> 5
+        return fscod, frmsizecod, acmod, bsid, \
+            frame_size(fscod, frmsizecod)
+    if bsid <= 16:                       # E-AC-3
+        frmsiz = ((data[off + 2] & 7) << 8) | data[off + 3]
+        fscod = data[off + 4] >> 6
+        if fscod == 3 and (data[off + 4] >> 4) & 3 == 3:
+            return None
+        acmod = (data[off + 4] >> 1) & 7
+        return fscod, -1, acmod, bsid, (frmsiz + 1) * 2
+    return None
 
 
 _NFCHANS = [2, 1, 2, 3, 3, 4, 4, 5]
@@ -147,6 +156,8 @@ class Ac3Decoder:
 
     # -- frame decode ------------------------------------------------------
     def _decode_frame(self, data: bytes):
+        if (data[5] >> 3) > 10:
+            return self._decode_frame_eac3(data)
         br = _BR(data)
         br.skip(16 + 16)                       # syncword, crc1
         fscod = br.read(2)
@@ -430,6 +441,29 @@ class Ac3Decoder:
             coef[nch - 1, :7] = self._unpack_mantissas(br, bap, lexps,
                                                        gstate, 7)[:7]
         return coef
+
+    # -- E-AC-3 (ETSI TS 102 366 annex E) ---------------------------------
+    def _decode_frame_eac3(self, data: bytes):
+        """E-AC-3 frames are recognised and sized (parse_frame_header),
+        so mixed AC-3/E-AC-3 streams stay in sync, and the BSI is parsed
+        for stream info — but block decode is not implemented: the
+        E-AC-3 audblk syntax (LUT exponent strategies, converter fields,
+        forced block-0 strategies) was only partially reverse-verified
+        against libavcodec output and shipping a misaligned parser would
+        produce garbage audio.  Raising keeps feed() skipping frames
+        safely.  (The ac3_tables.FRM_EXPSTR table for the LUT strategy
+        path is already extracted for when this lands.)"""
+        br = _BR(data)
+        br.skip(16)
+        br.read(2 + 3 + 11)                    # strmtyp/substreamid/frmsiz
+        fscod = br.read(2)
+        if fscod != 3:
+            self.sample_rate = FSCOD_RATES[fscod]
+        br.read(2)                             # numblkscod
+        acmod = br.read(3)
+        lfeon = br.read(1)
+        self.channels = _NFCHANS[acmod] + lfeon
+        raise ValueError("eac3 block decode not supported")
 
     # -- exponents ---------------------------------------------------------
     @staticmethod

@@ -293,3 +293,28 @@ def test_do_job_aac_to_ac3(tmp_path):
                        (g * np.sin(2 * np.pi * 440 * tt)).mean())
     assert 0.3 < amp < 0.5, amp
     d.close()
+
+
+def test_eac3_frames_skipped_safely():
+    """E-AC-3 syncframes are recognised and sized (bsid 16 framing) so
+    they skip cleanly — no garbage output, and AC-3 frames following
+    E-AC-3 data in the same stream still decode."""
+    if not ffaudio.available():
+        pytest.skip("libavcodec oracle unavailable")
+    _probe()
+    sig = _signal(48000, 2, 1536 * 2)
+    enc = ffaudio.FFAudioEncoder("eac3", sample_rate=48000, channels=2,
+                                 bit_rate=192000)
+    enc.frame_size = 1536
+    e_frames = enc.encode(sig)
+    a_enc = ffaudio.FFAudioEncoder("ac3", sample_rate=48000, channels=2,
+                                   bit_rate=192000)
+    a_frames = a_enc.encode(sig)
+    dec = Ac3Decoder()
+    out = dec.decode(b"".join(e_frames) + b"".join(a_frames))
+    # only the AC-3 frames decode; the E-AC-3 ones skip by exact size
+    assert len(out) == len(a_frames)
+    ref = ffaudio.FFAudioDecoder("ac3").decode_packets(a_frames)
+    ref = np.concatenate(ref, 0) if isinstance(ref, list) else ref
+    o = np.concatenate([f.T for f in out], 0)
+    assert _snr(o[:len(ref)], ref) > 22.0
