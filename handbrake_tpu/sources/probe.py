@@ -22,6 +22,11 @@ _VIDEO_EXTS = {".mp4", ".m4v", ".mov", ".mkv", ".webm", ".y4m", ".264", ".avi",
 def open_source(path: str):
     if not os.path.exists(path):
         raise DemuxError(f"no such file: {path}")
+    if os.path.isdir(path):
+        from .dvd import is_dvd_folder, open_dvd_title
+        if is_dvd_folder(path):
+            return open_dvd_title(path)[0]
+        raise DemuxError(f"directory is not a DVD: {path}")
     with open(path, "rb") as f:
         head = f.read(16)
     if probe_is_mp4(head):
@@ -55,8 +60,12 @@ def open_source(path: str):
 
 
 def scan_paths(path: str) -> list:
-    """Directory → sorted list of media file paths (batch.c:268)."""
+    """Directory → sorted list of media file paths (batch.c:268);
+    a DVD-Video folder is one source (dvd.c role)."""
     if os.path.isdir(path):
+        from .dvd import is_dvd_folder
+        if is_dvd_folder(path):
+            return [path]
         out = []
         for name in sorted(os.listdir(path)):
             p = os.path.join(path, name)

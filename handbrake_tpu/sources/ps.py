@@ -189,6 +189,8 @@ class PSDemuxer:
                 return "audio", "ac3"
             if sub is not None and 0xA0 <= sub <= 0xAF:
                 return "audio", "lpcm"
+            if sub is not None and 0x20 <= sub <= 0x3F:
+                return "subtitle", "vobsub"   # DVD subpicture streams
             return None, None
 
         # DVD LPCM audio frame header (declpcm.c:410 role): byte 5 of the
@@ -286,6 +288,11 @@ class PSDemuxer:
             b.track_kind = self.tracks[trk].kind
             if b.track_kind == "video":
                 b.frametype = FrameType.KEY
+            if b.track_kind == "subtitle":
+                # SPUs carry their own display window; holding them for
+                # duration lookahead would delay a lone subpicture to EOF
+                yield trk, b
+                continue
             prev = held.get(trk)
             if prev is not None:
                 if prev.pts is not None and b.pts is not None \

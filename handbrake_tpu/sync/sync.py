@@ -143,9 +143,21 @@ class SyncCore:
             q = st.queue
             while q and (q[0].pts < start if q[0].stop is None
                          else q[0].stop <= start):
+                if st.kind == "subtitle" and q[0].stop is None:
+                    # stop-less bitmap events (PGS/SPU display sets)
+                    # persist until the next set: clamp to the start
+                    # instead of dropping — the screen state they
+                    # establish is still current at the cut
+                    break
                 q.pop(0)
                 st.drops += 1
-            if q and q[0].pts < start:
+            if st.kind == "subtitle":
+                for b in q:
+                    if b.pts < start:
+                        b.pts = start
+                        if b.stop is not None:
+                            b.stop = max(b.stop, start)
+            elif q and q[0].pts < start:
                 b = q[0]
                 if st.kind == "audio" and b.duration:
                     # trim head proportionally (reference trims samples)

@@ -196,6 +196,11 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
                                                parse_idx_palette)
                 pal = parse_idx_palette(sti.extradata or b"")
                 sdecs[sub_srcs[sspec.track]] = (k, VobSubDecoder(pal))
+            elif sti.codec in ("tx3g", "text", "srt", "subrip", "ass",
+                               "ssa"):
+                # in-stream text cues (dectx3gsub.c / decssasub.c roles)
+                sdecs[sub_srcs[sspec.track]] = (
+                    k, _TextCueDecoder(sti.codec))
             else:
                 log(f"subtitle codec {sti.codec!r}: no decoder — "
                     "track ignored")
@@ -446,8 +451,19 @@ class _DecodeSyncStage(WorkObject):
                 self.sync.queue(self.a_sync[trk], ab)
         elif trk in self.sdecs and buf.data is not None:
             key, dec = self.sdecs[trk]
-            for ev in dec.feed(bytes(buf.data), buf.pts or 0):
-                self._emit_sub(key, ev)
+            if isinstance(dec, _TextCueDecoder):
+                txt = dec.parse(bytes(buf.data))
+                if txt:
+                    b = Buffer(track_kind="subtitle", pts=buf.pts,
+                               duration=buf.duration)
+                    b.stop = (buf.pts + buf.duration) \
+                        if buf.pts is not None and buf.duration else None
+                    b.data = txt.encode("utf-8")
+                    b.stream_id = _SUB_SID0 + key
+                    self.sync.queue(self.s_sync[key], b)
+            else:
+                for ev in dec.feed(bytes(buf.data), buf.pts or 0):
+                    self._emit_sub(key, ev)
         return self.sync.poll()
 
 
@@ -844,6 +860,34 @@ class _Ac3PacketDecoder:
             if self._next_pts is not None:
                 self._next_pts += dur
         return outs
+
+
+class _TextCueDecoder:
+    """In-stream text subtitle cues → plain text (dectx3gsub.c role for
+    mp4 tx3g samples; mkv S_TEXT/UTF8 raw cues; S_TEXT/ASS block lines
+    with the decssasub.c field split)."""
+
+    def __init__(self, codec):
+        self.codec = codec
+
+    def parse(self, data: bytes) -> str:
+        import re
+        if self.codec in ("tx3g", "text"):
+            if len(data) < 2:
+                return ""
+            n = int.from_bytes(data[:2], "big")
+            txt = data[2:2 + n].decode("utf-8", "replace")
+        elif self.codec in ("ass", "ssa"):
+            # mkv block line: ReadOrder,Layer,Style,Name,4xMargin,
+            # Effect,Text
+            parts = data.decode("utf-8", "replace").split(",", 8)
+            txt = parts[-1] if parts else ""
+            txt = txt.replace("\\N", "\n").replace("\\n", "\n") \
+                .replace("\\h", " ")
+        else:                              # srt/subrip: raw cue text
+            txt = data.decode("utf-8", "replace")
+        txt = re.sub(r"<[^>]{1,64}>|\{\\[^}]{0,64}\}", "", txt)
+        return txt.strip()
 
 
 class _Mp2PacketDecoder:

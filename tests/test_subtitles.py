@@ -227,3 +227,64 @@ def test_ass_import_end_to_end(tmp_path, monkeypatch):
              if d.tracks[trk].kind == "subtitle"]
     joined = b"|".join(texts)
     assert b"First cue" in joined and b"Second cue" in joined
+
+
+def test_instream_tx3g_to_mkv_and_burn(tmp_path, monkeypatch):
+    """mp4 tx3g subtitle track (dectx3gsub.c role): decoded from the
+    source container, copied into an MKV S_TEXT track, and burnable."""
+    monkeypatch.setenv("HB_TPU_DISABLE_DEVICE", "1")
+    import numpy as np
+    from handbrake_tpu import work
+    from handbrake_tpu.codecs.h264.encoder import (EncoderConfig,
+                                                   H264Encoder)
+    from handbrake_tpu.codecs.registry import create_video_decoder
+    from handbrake_tpu.job.schema import Job, SubtitleJobTrack
+    from handbrake_tpu.mux.mp4 import MP4Writer
+    from handbrake_tpu.sources.mkv import MKVDemuxer
+
+    W, H, N = 96, 64, 12
+    src_path = str(tmp_path / "txt.mp4")
+    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=24, gop=N))
+    w = MP4Writer(src_path)
+    vi = w.add_video_track(codec="h264", width=W, height=H)
+    si = w.add_subtitle_track(codec="tx3g")
+    for i in range(N):
+        y = np.full((H, W), 40, np.uint8)
+        u = np.full((H // 2, W // 2), 110, np.uint8)
+        v = np.full((H // 2, W // 2), 128, np.uint8)
+        w.write_sample(vi, enc.encode_frame(y, u, v), duration=3003,
+                       sync=(i == 0), annexb=True)
+    cue = "Hello tx3g".encode("utf-8")
+    w.write_sample(si, b"\x00\x00", duration=2 * 3003)   # empty lead-in
+    w.write_sample(si, len(cue).to_bytes(2, "big") + cue,
+                   duration=6 * 3003)
+    w.write_sample(si, b"\x00\x00", duration=4 * 3003)
+    w.finalize()
+
+    # copy path: tx3g → MKV S_TEXT
+    out = str(tmp_path / "copy.mkv")
+    j = Job(path=src_path, file=out, mux="mkv", quality=24.0)
+    j.subtitles = [SubtitleJobTrack(track=0, language="eng")]
+    stats = work.do_job(j)
+    assert not stats.get("error"), stats
+    d = MKVDemuxer(out)
+    texts = [p.data for trk, p in d.packets()
+             if d.tracks[trk].kind == "subtitle"]
+    assert any(b"Hello tx3g" in t for t in texts), texts
+
+    # burn path: text pixels appear mid-clip
+    out2 = str(tmp_path / "burn.mp4")
+    j2 = Job(path=src_path, file=out2, mux="mp4", quality=20.0)
+    j2.subtitles = [SubtitleJobTrack(track=0, burn=True)]
+    stats = work.do_job(j2)
+    assert not stats.get("error"), stats
+    from handbrake_tpu.sources.probe import open_source
+    dd = open_source(out2)
+    dec = create_video_decoder("h264", dd.tracks[0].extradata)
+    frames = []
+    for k in range(dd.n_samples(0)):
+        frames.extend(dec.feed(dd.read_sample(0, k)))
+    assert len(frames) == N
+    def lum(i):
+        return float(np.asarray(frames[i].planes[0]).astype(int).max())
+    assert lum(5) > lum(0) + 50      # burned text adds bright pixels
