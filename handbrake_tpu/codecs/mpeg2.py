@@ -338,9 +338,15 @@ class Mpeg2Decoder:
         self.progressive = True
         self._buf = b""
         self._out = []          # decoded frames in display order
+        self._out_pts = []      # per-frame PES pts (display order)
+        self.cur_pts = None     # pts of the AU being decoded (set by
+                                # the caller per packet; PES pts are
+                                # presentation times, so each picture
+                                # keeps the pts it arrived with)
         self._fwd = None        # (y,u,v) reference planes
         self._bwd = None
         self._pending_ref = None   # decoded ref awaiting display slot
+        self._pending_pts = None
         self.frame_rate = (30000, 1001)
 
     # -- stream chop -------------------------------------------------------
@@ -357,14 +363,32 @@ class Mpeg2Decoder:
     def get_frames(self):
         out = self._out
         self._out = []
+        self._out_pts = []
+        return out
+
+    def get_frames_with_pts(self):
+        out = list(zip(self._out, self._out_pts))
+        self._out = []
+        self._out_pts = []
         return out
 
     def flush(self):
         self._process(final=True)
         if self._pending_ref is not None:
             self._out.append(self._pending_ref)
+            self._out_pts.append(self._pending_pts)
             self._pending_ref = None
+            self._pending_pts = None
         return self.get_frames()
+
+    def flush_with_pts(self):
+        self._process(final=True)
+        if self._pending_ref is not None:
+            self._out.append(self._pending_ref)
+            self._out_pts.append(self._pending_pts)
+            self._pending_ref = None
+            self._pending_pts = None
+        return self.get_frames_with_pts()
 
     def _process(self, final):
         buf = self._buf
@@ -506,13 +530,17 @@ class Mpeg2Decoder:
             # reorder: previous ref becomes displayable
             if self._pending_ref is not None:
                 self._out.append(self._pending_ref)
+                self._out_pts.append(self._pending_pts)
             self._pending_ref = frame
+            self._pending_pts = self.cur_pts
             self._fwd = self._bwd
             self._bwd = (y, u, v)
             if self._fwd is None:
                 self._fwd = self._bwd
         else:
             self._out.append(frame)
+            self._out_pts.append(self.cur_pts)
+        self.cur_pts = None
 
     # -- slice -------------------------------------------------------------
     def _decode_slice(self, data: bytes, mb_row, st, planes):

@@ -227,9 +227,10 @@ class RawVideoDecoder(VideoDecoder):
 
 class Mpeg2VideoDecoder(VideoDecoder):
     """MPEG-2 (codecs/mpeg2.py): streaming ES decode with B-frame
-    display-order reorder.  Packet pts attaches to the frames a packet
-    completes; the sync layer's sorted queues restore monotone pts
-    (PES carries presentation times)."""
+    display-order reorder.  PES pts are PRESENTATION times, so each
+    picture keeps the pts of the packet it arrived in — an anchor held
+    for reorder is emitted later with its own pts, not the pts of the
+    packet that released it."""
 
     def __init__(self, extradata: bytes = b""):
         from .mpeg2 import Mpeg2Decoder
@@ -240,9 +241,13 @@ class Mpeg2VideoDecoder(VideoDecoder):
 
     def _wrap(self, frames, buf):
         out = []
-        for (y, u, v) in frames:
+        for item in frames:
+            (y, u, v), pts = item if len(item) == 2 else (item, None)
             fb = Buffer(planes=[y, u, v],
                         pix_fmt=PIX_FMTS["yuv420p"]).copy_props(buf)
+            fb.pts = pts
+            fb.stop = (pts + fb.duration) if pts is not None \
+                and fb.duration else None
             fb.data = None
             out.append(fb)
         if self.dec.w and not self._info:
@@ -256,11 +261,13 @@ class Mpeg2VideoDecoder(VideoDecoder):
     def feed(self, buf: Buffer) -> list:
         if buf.data is None:
             return []
+        self.dec.cur_pts = buf.pts
         self.dec.feed(bytes(buf.data))
-        return self._wrap(self.dec.get_frames(), buf)
+        return self._wrap(self.dec.get_frames_with_pts(), buf)
 
     def flush(self) -> list:
-        return self._wrap(self.dec.flush(), Buffer(track_kind="video"))
+        return self._wrap(self.dec.flush_with_pts(),
+                          Buffer(track_kind="video"))
 
     def info(self) -> dict:
         return dict(self._info)
