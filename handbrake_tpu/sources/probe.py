@@ -26,7 +26,10 @@ def open_source(path: str):
         from .dvd import is_dvd_folder, open_dvd_title
         if is_dvd_folder(path):
             return open_dvd_title(path)[0]
-        raise DemuxError(f"directory is not a DVD: {path}")
+        from .bd import is_bd_folder, open_bd_title
+        if is_bd_folder(path):
+            return open_bd_title(path)[0]
+        raise DemuxError(f"directory is not a DVD/Blu-ray: {path}")
     with open(path, "rb") as f:
         head = f.read(16)
     if probe_is_mp4(head):
@@ -64,7 +67,8 @@ def scan_paths(path: str) -> list:
     a DVD-Video folder is one source (dvd.c role)."""
     if os.path.isdir(path):
         from .dvd import is_dvd_folder
-        if is_dvd_folder(path):
+        from .bd import is_bd_folder
+        if is_dvd_folder(path) or is_bd_folder(path):
             return [path]
         out = []
         for name in sorted(os.listdir(path)):

@@ -164,3 +164,99 @@ def test_dvd_transcode_with_vobsub_burn(dvd_dir, tmp_path, monkeypatch):
         return float(np.asarray(frames[i].planes[0])[20:36, 30:62]
                      .mean())
     assert patch_mean(2) > patch_mean(0) + 60   # white card burned
+
+
+# ---------------------------------------------------------------------------
+# Blu-ray folder (sources/bd.py — bd.c hb_bd role)
+# ---------------------------------------------------------------------------
+def _m2ts_wrap(ts_bytes):
+    """188-byte TS → m2ts (4-byte arrival timestamp prefix per packet)."""
+    out = bytearray()
+    for i in range(0, len(ts_bytes), 188):
+        out += (i // 188).to_bytes(4, "big") + ts_bytes[i:i + 188]
+    return bytes(out)
+
+
+@pytest.fixture
+def bd_dir(tmp_path):
+    sys.path.insert(0, os.path.dirname(__file__))
+    import test_ts as tsfix
+    from handbrake_tpu.codecs.h264.encoder import (EncoderConfig,
+                                                   H264Encoder)
+    W, H, n = 96, 64, 12
+    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=28, gop=n))
+    ts = tsfix.pat() + tsfix.pmt()
+    cc = 0
+    base = (np.add.outer(np.arange(H), np.arange(W)) * 3 % 256).astype(
+        np.uint8)
+    for i in range(n):
+        au = enc.encode_frame(np.roll(base, i, 1),
+                              np.full((H // 2, W // 2), 110, np.uint8),
+                              np.full((H // 2, W // 2), 60, np.uint8))
+        pk = tsfix.ts_packets(0x100, tsfix.pes(0xE0, i * 3003, au), cc)
+        cc += len(pk) // 188
+        ts += pk
+    bd = tmp_path / "disc" / "BDMV"
+    (bd / "PLAYLIST").mkdir(parents=True)
+    (bd / "STREAM").mkdir()
+    m2ts = _m2ts_wrap(ts)
+    half = (len(m2ts) // 2 // 192) * 192
+    (bd / "STREAM" / "00001.m2ts").write_bytes(m2ts[:half])
+    (bd / "STREAM" / "00002.m2ts").write_bytes(m2ts[half:])
+    dur_ticks = int(n / 30.0 * 45000)
+
+    def play_item(clip):
+        # clip(5) codec(4) flags(2) stc_id(1) in(4) out(4)
+        body = (clip.encode() + b"M2TS" + b"\x00\x00\x00"
+                + (0).to_bytes(4, "big")
+                + (dur_ticks // 2).to_bytes(4, "big") + b"\x00" * 8)
+        return len(body).to_bytes(2, "big") + body
+
+    items = play_item("00001") + play_item("00002")
+    playlist = (b"\x00\x00\x00\x00" + b"\x00\x00"
+                + (2).to_bytes(2, "big") + (0).to_bytes(2, "big")
+                + items)
+    marks = (b"\x00\x00\x00\x00" + (2).to_bytes(2, "big")
+             + bytes([0, 1]) + (0).to_bytes(2, "big")
+             + (0).to_bytes(4, "big") + b"\xff\xff" + (0).to_bytes(4, "big")
+             + bytes([0, 1]) + (1).to_bytes(2, "big")
+             + (dur_ticks // 4).to_bytes(4, "big") + b"\xff\xff"
+             + (0).to_bytes(4, "big"))
+    hdr = b"MPLS0200" + (40).to_bytes(4, "big") \
+        + (40 + len(playlist)).to_bytes(4, "big") + (0).to_bytes(4, "big")
+    mpls = hdr.ljust(40, b"\x00") + playlist + marks
+    (bd / "PLAYLIST" / "00000.mpls").write_bytes(mpls)
+    return str(tmp_path / "disc")
+
+
+def test_bd_scan_and_transcode(bd_dir, tmp_path, monkeypatch):
+    monkeypatch.setenv("HB_TPU_DISABLE_DEVICE", "1")
+    from handbrake_tpu.sources.bd import scan_bd
+    from handbrake_tpu.scan import scan
+    from handbrake_tpu import work
+    from handbrake_tpu.job.schema import Job
+
+    titles = scan_bd(bd_dir)
+    assert len(titles) == 1
+    t = titles[0]
+    assert len(t.clip_paths) == 2
+    assert abs(t.duration_s - 0.4) < 0.05
+    assert len(t.chapter_times) == 2
+    assert abs(t.chapter_times[1] - 0.3) < 0.05  # item1 +0.1s clip time
+
+    ts = scan(bd_dir, preview_count=2)
+    assert len(ts) == 1 and ts[0].video_codec == "h264"
+    assert len(ts[0].chapters) == 2
+
+    out = str(tmp_path / "bd.mp4")
+    j = Job(path=bd_dir, file=out, mux="mp4", vcodec="h264",
+            quality=26.0)
+    stats = work.do_job(j)
+    assert not stats.get("error"), stats
+    assert stats["frames_out"] == 12, stats
+    import cv2
+    cap = cv2.VideoCapture(out)
+    nf = 0
+    while cap.read()[0]:
+        nf += 1
+    assert nf == 12
