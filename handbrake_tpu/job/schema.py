@@ -101,6 +101,7 @@ class SubtitleJobTrack:
     import_format: str = "SRT"
     language: str = "und"
     offset: int = 0
+    cc: bool = False        # CEA-608 captions from the video stream
 
 
 @dataclasses.dataclass
@@ -220,6 +221,7 @@ class Job:
                 "SubtitleList": [
                     {"Track": s.track + 1, "Burn": s.burn, "Default": s.default,
                      "Forced": s.forced, "Language": s.language,
+                     **({"CC": True} if s.cc else {}),
                      "Offset": s.offset,
                      **({"Import": {"Filename": s.import_file,
                                     "Format": s.import_format}}
@@ -298,6 +300,7 @@ class Job:
                 track=t.get("Track", 0) - 1, burn=bool(t.get("Burn", False)),
                 default=bool(t.get("Default", False)),
                 forced=bool(t.get("Forced", False)),
+                cc=bool(t.get("CC", False)),
                 language=t.get("Language", "und"), offset=t.get("Offset", 0))
             imp = t.get("Import")
             if imp:

@@ -176,8 +176,13 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
     sdecs = {}                # source track idx -> (key, PgsDecoder)
     sub_srcs = [i for i, t in enumerate(src.tracks)
                 if t.kind == "subtitle"]
+    cc_sel = None             # (key, Cea608Decoder) — captions ride
+                              # the VIDEO stream (deccc608sub.c role)
     for k, sspec in enumerate(job.subtitles):
-        if sspec.import_file:
+        if getattr(sspec, "cc", False):
+            from .subtitles.cea608 import Cea608Decoder
+            cc_sel = (k, Cea608Decoder())
+        elif sspec.import_file:
             from .subtitles import parse_textsub
             with open(sspec.import_file, "rb") as f:
                 events = parse_textsub(f.read(),
@@ -216,9 +221,14 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
         sync.set_eof(s_sync[k])
     for trk, (k, _dec) in sdecs.items():
         s_sync[k] = sync.add_stream("subtitle", sid=_SUB_SID0 + k)
+    if cc_sel is not None:
+        s_sync[cc_sel[0]] = sync.add_stream(
+            "subtitle", sid=_SUB_SID0 + cc_sel[0])
     sub_specs = {k: sspec for k, sspec, _ in sub_sel}
     sub_specs.update({k: job.subtitles[k] for _t, (k, _d) in
                       sdecs.items()})
+    if cc_sel is not None:
+        sub_specs[cc_sel[0]] = job.subtitles[cc_sel[0]]
 
     # ---- filters ----
     fi = FilterInit(geometry=Geometry(
@@ -310,7 +320,8 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
     reader.fifo_out = fifo_raw
     decsync = _DecodeSyncStage(video_track, vdec, adecs, sync, v_sync,
                                a_sync, stats, vcodec=vti.codec,
-                               sdecs=sdecs, s_sync=s_sync)
+                               sdecs=sdecs, s_sync=s_sync,
+                               cc_sel=cc_sel)
     decsync.fifo_in, decsync.fifo_out = fifo_raw, fifo_sync
     gshards = int(getattr(job, "gop_parallel", 0) or 0)
     if gshards > 1 and job.vcodec not in ("h264_tpu", "x264", "h264"):
@@ -374,8 +385,9 @@ class _DecodeSyncStage(WorkObject):
     name = "decode+sync"
 
     def __init__(self, video_track, vdec, adecs, sync, v_sync, a_sync,
-                 stats, vcodec="", sdecs=None, s_sync=None):
+                 stats, vcodec="", sdecs=None, s_sync=None, cc_sel=None):
         super().__init__()
+        self.cc_sel = cc_sel       # (key, Cea608Decoder) or None
         self.video_track = video_track
         self.vdec = vdec
         self.adecs = adecs
@@ -387,6 +399,25 @@ class _DecodeSyncStage(WorkObject):
         self.sdecs = sdecs or {}
         self.s_sync = s_sync or {}
         self._hdr: dict = {}       # static + pending per-frame metadata
+
+    def _feed_cc(self, es: bytes, pts):
+        """CEA-608 captions ride the video ES (deccc608sub.c role):
+        extract GA94 cc_data from MPEG-2 user_data or H.264 SEI and
+        decode to text cues on the caption subtitle stream."""
+        from .subtitles.cea608 import extract_cc_h264, extract_cc_mpeg2
+        key, dec = self.cc_sel
+        if self.vcodec in ("mpeg2", "mpeg2video"):
+            pairs = extract_cc_mpeg2(es)
+        elif self.vcodec == "h264":
+            pairs = extract_cc_h264(es)
+        else:
+            return
+        for ev in dec.feed(pairs, pts or 0):
+            b = Buffer(track_kind="subtitle", pts=ev.pts, stop=ev.stop,
+                       duration=ev.duration)
+            b.data = ev.text.encode("utf-8")
+            b.stream_id = _SUB_SID0 + key
+            self.sync.queue(self.s_sync[key], b)
 
     def _emit_sub(self, key, ev):
         """Queue one bitmap event (or clear marker) immediately: a PGS
@@ -433,6 +464,8 @@ class _DecodeSyncStage(WorkObject):
                 sd = extract_hdr_side_data(buf.data, self.vcodec)
                 if sd:
                     self._hdr.update(sd)
+            if self.cc_sel is not None and buf.data:
+                self._feed_cc(bytes(buf.data), buf.pts)
             frames = [buf] if buf.planes is not None else self.vdec.feed(buf)
             for f in frames:
                 if f.pts is not None:
