@@ -110,6 +110,27 @@ def scan_title(path: str, index: int = 1, preview_count: int = 10,
     if video_track is None:
         src.close()
         return None
+    # CEA-608 detection (scan-time preview decode role): GA94 cc_data in
+    # the first seconds of the video ES → a discoverable "cc" track
+    try:
+        vti = src.tracks[video_track]
+        if vti.codec in ("mpeg2", "mpeg2video", "h264"):
+            es = bytearray()
+            for trk, buf in src.packets():
+                if trk == video_track and buf.data:
+                    es += buf.data
+                    if len(es) > (1 << 18):
+                        break
+            from .subtitles.cea608 import (extract_cc_h264,
+                                           extract_cc_mpeg2)
+            pairs = (extract_cc_h264(bytes(es)) if vti.codec == "h264"
+                     else extract_cc_mpeg2(bytes(es)))
+            if pairs:
+                t.subtitles.append(SubtitleTrack(
+                    track=len(t.subtitles), source="cc",
+                    language="und"))
+    except Exception:  # noqa: BLE001 — detection is best-effort
+        pass
     # --- decode previews ---
     previews = _decode_previews(src, video_track, preview_count)
     crops = []

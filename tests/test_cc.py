@@ -123,3 +123,46 @@ def test_cc_to_text_track_end_to_end(tmp_path, monkeypatch):
              if d.tracks[trk].kind == "subtitle"]
     joined = b"|".join(texts)
     assert b"CAPTION ONE" in joined, texts
+
+
+def test_scan_detects_cc_track(tmp_path):
+    """scan_title surfaces a 'cc' subtitle track when GA94 captions ride
+    the video ES (the reference's preview-decode CC detection)."""
+    if not ffvideo.available():
+        pytest.skip("libavcodec oracle unavailable")
+    import cv2
+    from handbrake_tpu.scan import scan_title
+
+    W, H, n = 96, 64, 8
+    rng = np.random.default_rng(3)
+    base = cv2.GaussianBlur(
+        rng.integers(20, 230, (H + 64, W + 64)).astype(np.uint8),
+        (0, 0), 1.6)
+    frames = [(np.ascontiguousarray(base[t:t + H, 2 * t:2 * t + W]),
+               np.full((H // 2, W // 2), 110, np.uint8),
+               np.full((H // 2, W // 2), 140, np.uint8))
+              for t in range(n)]
+    vpkts = ffvideo.FFVideoEncoder(
+        "mpeg2video", W, H, 30, bit_rate=1_000_000,
+        opts={"bf": 0}).encode(frames)
+
+    def pes(sid, p, payload):
+        body = bytearray(b"\x80\x80\x05")
+        body += bytes([0x21 | ((p >> 29) & 0x0E), (p >> 22) & 0xFF,
+                       0x01 | ((p >> 14) & 0xFE), (p >> 7) & 0xFF,
+                       0x01 | ((p << 1) & 0xFE)])
+        body += payload
+        return (b"\x00\x00\x01" + bytes([sid])
+                + len(body).to_bytes(2, "big") + bytes(body))
+
+    cc = _cc_user_data(_pairs_for(["SCAN ME"]))
+    out = bytearray(b"\x00\x00\x01\xba"
+                    + bytes([0x44, 0, 4, 0, 4, 1, 0, 1, 0x89, 0xF8]))
+    for i, pkt in enumerate(vpkts):
+        out += pes(0xE0, i * 3000, (cc if i == 1 else b"") + pkt)
+    p = str(tmp_path / "cc_scan.mpg")
+    with open(p, "wb") as f:
+        f.write(bytes(out))
+    t = scan_title(p, preview_count=2)
+    assert t is not None
+    assert any(s.source == "cc" for s in t.subtitles)
