@@ -122,7 +122,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compressor ratio (acompressor)")
     p.add_argument("--agate", type=float, default=0.0,
                    help="gate threshold dB (agate)")
-    # subtitles (SRT import — decsrtsub.c role)
+    # subtitles (decsrtsub.c / deccc608sub.c roles)
+    p.add_argument("-s", "--subtitle",
+                   help="comma list of 1-based scanned subtitle tracks "
+                        "(or 'cc' for closed captions)")
+    p.add_argument("--subtitle-burned", type=int, default=0,
+                   help="1-based index into -s to burn in (0=none)")
     p.add_argument("--srt-file", help="comma list of .srt files to import")
     p.add_argument("--srt-lang", default="und",
                    help="comma list of ISO-639 codes for --srt-file")
@@ -398,6 +403,29 @@ def main(argv=None) -> int:
         preset = preset_search("Fast 1080p30") or {}
     job = preset_to_job(title, preset)
     job = apply_cli_overrides(job, args)
+    if args.subtitle:
+        # map scanned subtitle indexes to demux tracks / the CC tap
+        from ..job.schema import SubtitleJobTrack
+        job.subtitles = list(job.subtitles)
+        for i, tok in enumerate(
+                x.strip() for x in args.subtitle.split(",") if x.strip()):
+            burn = (args.subtitle_burned == i + 1)
+            st = None
+            if tok.lower() != "cc":
+                idx = int(tok) - 1
+                st = title.subtitles[idx] \
+                    if 0 <= idx < len(title.subtitles) else None
+            if tok.lower() == "cc" or (st is not None
+                                       and st.source == "cc"):
+                job.subtitles.append(SubtitleJobTrack(
+                    cc=True, burn=burn,
+                    language=st.language if st else "und"))
+            else:
+                demux_idx = sum(1 for s2 in title.subtitles[:idx]
+                                if s2.source != "cc")
+                job.subtitles.append(SubtitleJobTrack(
+                    track=demux_idx, burn=burn,
+                    language=st.language if st else "und"))
     h.add(job)
     h.start()
     last = -1.0

@@ -166,3 +166,54 @@ def test_scan_detects_cc_track(tmp_path):
     t = scan_title(p, preview_count=2)
     assert t is not None
     assert any(s.source == "cc" for s in t.subtitles)
+
+
+def test_cli_selects_cc_track(tmp_path, monkeypatch):
+    """`-s cc` (or a scanned cc track index) maps to a CC job track."""
+    if not ffvideo.available():
+        pytest.skip("libavcodec oracle unavailable")
+    monkeypatch.setenv("HB_TPU_DISABLE_DEVICE", "1")
+    import cv2
+    from handbrake_tpu.cli.__main__ import main
+    from handbrake_tpu.sources.mkv import MKVDemuxer
+
+    W, H, n = 96, 64, 12
+    rng = np.random.default_rng(3)
+    base = cv2.GaussianBlur(
+        rng.integers(20, 230, (H + 64, W + 64)).astype(np.uint8),
+        (0, 0), 1.6)
+    frames = [(np.ascontiguousarray(base[t:t + H, 2 * t:2 * t + W]),
+               np.full((H // 2, W // 2), 110, np.uint8),
+               np.full((H // 2, W // 2), 140, np.uint8))
+              for t in range(n)]
+    vpkts = ffvideo.FFVideoEncoder(
+        "mpeg2video", W, H, 30, bit_rate=1_000_000,
+        opts={"bf": 0}).encode(frames)
+    inject = {1: _cc_user_data(_pairs_for(["FROM CLI"])),
+              2: _cc_user_data([(0x14, 0x2F)]),
+              8: _cc_user_data([(0x14, 0x2C)])}
+
+    def pes(sid, p, payload):
+        body = bytearray(b"\x80\x80\x05")
+        body += bytes([0x21 | ((p >> 29) & 0x0E), (p >> 22) & 0xFF,
+                       0x01 | ((p >> 14) & 0xFE), (p >> 7) & 0xFF,
+                       0x01 | ((p << 1) & 0xFE)])
+        body += payload
+        return (b"\x00\x00\x01" + bytes([sid])
+                + len(body).to_bytes(2, "big") + bytes(body))
+
+    out = bytearray(b"\x00\x00\x01\xba"
+                    + bytes([0x44, 0, 4, 0, 4, 1, 0, 1, 0x89, 0xF8]))
+    for i, pkt in enumerate(vpkts):
+        out += pes(0xE0, i * 3000, inject.get(i, b"") + pkt)
+    src = str(tmp_path / "cli_cc.mpg")
+    with open(src, "wb") as f:
+        f.write(bytes(out))
+    dst = str(tmp_path / "cli_cc.mkv")
+    rc = main(["-i", src, "-o", dst, "-e", "h264", "-q", "26",
+               "-s", "cc"])
+    assert rc == 0
+    d = MKVDemuxer(dst)
+    texts = b"|".join(p.data for trk, p in d.packets()
+                      if d.tracks[trk].kind == "subtitle")
+    assert b"FROM CLI" in texts
