@@ -1088,6 +1088,16 @@ class _MuxAdapter:
                     xd = chain.extradata()     # AudioSpecificConfig
                 elif chain is not None and chain.out_codec() == "ac3":
                     xd = chain.extradata()     # dac3 payload
+                    if not xd:
+                        # passthrough: synthesize dac3 from track info
+                        # (fscod/bsid/bsmod/acmod/lfeon packed fields)
+                        fscod = {48000: 0, 44100: 1,
+                                 32000: 2}.get(ti.sample_rate, 0)
+                        acmod = {1: 1, 2: 2, 6: 7}.get(ti.channels, 2)
+                        lfe = 1 if ti.channels == 6 else 0
+                        v = (fscod << 22) | (8 << 17) | (acmod << 11) \
+                            | (lfe << 10) | (11 << 5)   # ~192 kbps
+                        xd = v.to_bytes(3, "big")
                 elif chain is not None and chain.is_passthrough():
                     xd = ti.extradata
                 self._amap[si] = self.w.add_audio_track(

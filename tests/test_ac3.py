@@ -395,3 +395,84 @@ def test_ac3_passthrough_to_mkv(tmp_path):
         [got[i:i + 1920] for i in range(0, len(got), 1920)])
     ref = np.concatenate(ref, 0) if isinstance(ref, list) else ref
     assert len(ref) >= 1536 * 3
+
+
+def test_ac3_passthrough_to_mp4_dac3(tmp_path):
+    """copy:ac3 into MP4 gets a synthesized dac3 box and the track
+    decodes in the oracle."""
+    if not (ffaudio.available() and ffvideo.available()):
+        pytest.skip("libavcodec oracle unavailable")
+    _probe()
+    import cv2
+    from handbrake_tpu.job.schema import Job, AudioJobTrack
+    from handbrake_tpu.sources.probe import open_source
+    from handbrake_tpu import work
+
+    os.environ["HB_TPU_DISABLE_DEVICE"] = "1"
+    W, H, n = 96, 64, 10
+    rng = np.random.default_rng(3)
+    base = cv2.GaussianBlur(
+        rng.integers(20, 230, (H + 64, W + 64)).astype(np.uint8),
+        (0, 0), 1.6)
+    frames = [(np.ascontiguousarray(base[t:t + H, 2 * t:2 * t + W]),
+               np.full((H // 2, W // 2), 110, np.uint8),
+               np.full((H // 2, W // 2), 140, np.uint8))
+              for t in range(n)]
+    vpkts = ffvideo.FFVideoEncoder(
+        "mpeg2video", W, H, 30, bit_rate=1_000_000,
+        opts={"bf": 0}).encode(frames)
+    sr = 48000
+    ns = int(sr * n / 30.0) + 1536
+    t = np.arange(ns) / sr
+    tone = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    apkts = ffaudio.FFAudioEncoder(
+        "ac3", sample_rate=sr, channels=2,
+        bit_rate=192000).encode(np.stack([tone, tone * 0.5], 1))
+
+    def pes(sid, p, payload):
+        body = bytearray(b"\x80\x80\x05")
+        body += bytes([0x21 | ((p >> 29) & 0x0E), (p >> 22) & 0xFF,
+                       0x01 | ((p >> 14) & 0xFE), (p >> 7) & 0xFF,
+                       0x01 | ((p << 1) & 0xFE)])
+        body += payload
+        return (b"\x00\x00\x01" + bytes([sid])
+                + len(body).to_bytes(2, "big") + bytes(body))
+
+    out = bytearray(b"\x00\x00\x01\xba"
+                    + bytes([0x44, 0, 4, 0, 4, 1, 0, 1, 0x89, 0xF8]))
+    apts = ak = vpts = 0
+    for pkt in vpkts:
+        out += pes(0xE0, vpts, pkt)
+        vpts += 3000
+        while ak < len(apkts) and apts <= vpts:
+            out += pes(0xBD, apts, bytes([0x80, 1, 0x00, 0x01])
+                       + apkts[ak])
+            apts += 1536 * 90000 // sr
+            ak += 1
+    vob = str(tmp_path / "p.vob")
+    with open(vob, "wb") as f:
+        f.write(bytes(out))
+
+    mp4 = str(tmp_path / "p.mp4")
+    j = Job(path=vob, file=mp4, mux="mp4", vcodec="h264", quality=26.0)
+    j.audio = [AudioJobTrack(track=0, encoder="copy:ac3")]
+    stats = work.do_job(j)
+    assert not stats.get("error"), stats
+    with open(mp4, "rb") as f:
+        blob = f.read()
+    assert b"ac-3" in blob and b"dac3" in blob
+    i = blob.find(b"dac3")
+    dac3 = blob[i + 4:i + 7]
+    assert (dac3[0] >> 6) == 0                  # fscod 48 kHz
+    assert ((int.from_bytes(dac3, "big") >> 11) & 7) == 2  # acmod 2/0
+
+    d = open_source(mp4)
+    atrk = next(i for i, ti in enumerate(d.tracks)
+                if ti.kind == "audio")
+    es = b"".join(d.read_sample(atrk, k).data
+                  for k in range(d.n_samples(atrk)))
+    ref = ffaudio.FFAudioDecoder("ac3").decode_packets(
+        [es[i:i + 1920] for i in range(0, len(es), 1920)])
+    ref = np.concatenate(ref, 0) if isinstance(ref, list) else ref
+    assert len(ref) >= 1536 * 3
+    d.close()
