@@ -98,7 +98,8 @@ class MKVWriter:
                         language: str = "und") -> int:
         cid = {"aac": "A_AAC", "opus": "A_OPUS", "flac": "A_FLAC",
                "vorbis": "A_VORBIS", "ac3": "A_AC3", "eac3": "A_EAC3",
-               "mp3": "A_MPEG/L3", "pcm_s16le": "A_PCM/INT/LIT",
+               "mp3": "A_MPEG/L3", "mp2": "A_MPEG/L2",
+               "pcm_s16le": "A_PCM/INT/LIT",
                "truehd": "A_TRUEHD", "dts": "A_DTS"}[codec]
         t = MKTrack(len(self.tracks) + 1, "audio", cid,
                     sample_rate=sample_rate, channels=channels,

@@ -31,6 +31,7 @@ _CODEC_MAP = {
     "A_AC3": "ac3",
     "A_EAC3": "eac3",
     "A_MPEG/L3": "mp3",
+    "A_MPEG/L2": "mp2",
     "A_PCM/INT/LIT": "pcm_s16le",
     "A_TRUEHD": "truehd",
     "A_DTS": "dts",

@@ -170,3 +170,77 @@ def test_vob_mp2_transcode_to_aac(tmp_path):
                    (mid * np.sin(2 * np.pi * 440 * tt)).mean() * 2)
     assert 0.25 < amp < 0.55, amp
     d.close()
+
+
+def test_mp2_passthrough_ps_to_mkv(tmp_path):
+    """copy:mp2 from a broadcast PS lands byte-intact in an A_MPEG/L2
+    MKV track that the oracle decodes."""
+    if not (ffaudio.available() and ffvideo.available()):
+        pytest.skip("libavcodec oracle unavailable")
+    _probe()
+    import cv2
+    from handbrake_tpu.job.schema import Job, AudioJobTrack
+    from handbrake_tpu.sources.mkv import MKVDemuxer
+    from handbrake_tpu import work
+
+    os.environ["HB_TPU_DISABLE_DEVICE"] = "1"
+    W, H, n = 96, 64, 10
+    rng = np.random.default_rng(3)
+    base = cv2.GaussianBlur(
+        rng.integers(20, 230, (H + 64, W + 64)).astype(np.uint8),
+        (0, 0), 1.6)
+    frames = [(np.ascontiguousarray(base[t:t + H, 2 * t:2 * t + W]),
+               np.full((H // 2, W // 2), 110, np.uint8),
+               np.full((H // 2, W // 2), 140, np.uint8))
+              for t in range(n)]
+    vpkts = ffvideo.FFVideoEncoder(
+        "mpeg2video", W, H, 30, bit_rate=1_000_000,
+        opts={"bf": 0}).encode(frames)
+    sr = 48000
+    ns = int(sr * n / 30.0) + 1152
+    t = np.arange(ns) / sr
+    tone = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    apkts = ffaudio.FFAudioEncoder(
+        "mp2", sample_rate=sr, channels=2, bit_rate=192000,
+        sample_fmt="s16").encode(np.stack([tone, tone * 0.5], 1))
+
+    def pes(sid, p, payload):
+        body = bytearray(b"\x80\x80\x05")
+        body += bytes([0x21 | ((p >> 29) & 0x0E), (p >> 22) & 0xFF,
+                       0x01 | ((p >> 14) & 0xFE), (p >> 7) & 0xFF,
+                       0x01 | ((p << 1) & 0xFE)])
+        body += payload
+        return (b"\x00\x00\x01" + bytes([sid])
+                + len(body).to_bytes(2, "big") + bytes(body))
+
+    out = bytearray(b"\x00\x00\x01\xba"
+                    + bytes([0x44, 0, 4, 0, 4, 1, 0, 1, 0x89, 0xF8]))
+    apts = ak = vpts = 0
+    for pkt in vpkts:
+        out += pes(0xE0, vpts, pkt)
+        vpts += 3000
+        while ak < len(apkts) and apts <= vpts:
+            out += pes(0xC0, apts, apkts[ak])
+            apts += 1152 * 90000 // sr
+            ak += 1
+    ps = str(tmp_path / "b.mpg")
+    with open(ps, "wb") as f:
+        f.write(bytes(out))
+
+    mkv = str(tmp_path / "b.mkv")
+    j = Job(path=ps, file=mkv, mux="mkv", vcodec="h264", quality=26.0)
+    j.audio = [AudioJobTrack(track=0, encoder="copy:mp2")]
+    stats = work.do_job(j)
+    assert not stats.get("error"), stats
+
+    d = MKVDemuxer(mkv)
+    atrk = next(i for i, ti in enumerate(d.tracks)
+                if ti.kind == "audio")
+    assert d.tracks[atrk].codec == "mp2"
+    got = b"".join(p.data for trk, p in d.packets() if trk == atrk)
+    src_es = b"".join(apkts[:ak])
+    assert got and (got in src_es or src_es.startswith(got))
+    ref = ffaudio.FFAudioDecoder("mp2").decode_packets(
+        [got[i:i + 1728] for i in range(0, len(got), 1728)])
+    ref = np.concatenate(ref, 0) if isinstance(ref, list) else ref
+    assert len(ref) >= 1152 * 3
