@@ -1100,6 +1100,17 @@ class _MuxAdapter:
                         xd = v.to_bytes(3, "big")
                 elif chain is not None and chain.is_passthrough():
                     xd = ti.extradata
+                    if ti.codec == "aac" and not xd:
+                        # ADTS sources carry no ASC: build AAC-LC
+                        # AudioSpecificConfig from the track info
+                        srates = [96000, 88200, 64000, 48000, 44100,
+                                  32000, 24000, 22050, 16000, 12000,
+                                  11025, 8000, 7350]
+                        sfi = srates.index(ti.sample_rate) \
+                            if ti.sample_rate in srates else 3
+                        ch = max(1, min(7, ti.channels))
+                        v = (2 << 11) | (sfi << 7) | (ch << 3)
+                        xd = v.to_bytes(2, "big")
                 self._amap[si] = self.w.add_audio_track(
                     codec=chain.out_codec() if chain else ti.codec,
                     sample_rate=chain.sr_out if chain else ti.sample_rate,
@@ -1140,17 +1151,40 @@ class _MuxAdapter:
             self.w.write_sample(self.vtrack, au, duration=dur, sync=idr,
                                 annexb=True)
 
+    @staticmethod
+    def _strip_adts(data: bytes) -> bytes:
+        """ADTS framing → raw AAC AUs (the aac_adtstoasc BSF role):
+        containers index access units, not the self-framing stream."""
+        out = bytearray()
+        i = 0
+        n = len(data)
+        while i + 7 <= n and data[i] == 0xFF and \
+                (data[i + 1] & 0xF0) == 0xF0:
+            ln = ((data[i + 3] & 3) << 11) | (data[i + 4] << 3) \
+                | (data[i + 5] >> 5)
+            hdr = 7 if (data[i + 1] & 1) else 9    # +CRC
+            if ln < hdr or i + ln > n:
+                break
+            out += data[i + hdr:i + ln]
+            i += ln
+        return bytes(out) if i and i == n else data
+
     def write_audio(self, sid: int, pkt: Buffer):
         tr = self._amap.get(sid)
         if tr is None or pkt.data is None:
             return
+        data = pkt.data
+        tcodec = self.w.tracks[tr]
+        if getattr(tcodec, "codec", getattr(tcodec, "codec_id", "")) \
+                in ("aac", "A_AAC"):
+            data = self._strip_adts(bytes(data))
         if self.kind in ("mkv", "webm"):
-            self.w.write_sample(tr, pkt.data, pts_90k=pkt.pts or 0,
+            self.w.write_sample(tr, data, pts_90k=pkt.pts or 0,
                                 duration_90k=pkt.duration or 0)
         else:
             t = self.w.tracks[tr]
             dur = (pkt.duration or 0) * t.timescale // CLOCK
-            self.w.write_sample(tr, pkt.data, duration=dur)
+            self.w.write_sample(tr, data, duration=dur)
 
     def write_subtitle(self, k: int, buf: Buffer):
         tr = self._smap.get(k)

@@ -464,3 +464,93 @@ def test_aac_decoder_tns_synthetic():
     rel = np.sqrt(((ours[:n] - ff[:n]) ** 2).mean()) \
         / (np.sqrt((ff[:n] ** 2).mean()) + 1e-12)
     assert rel < 1e-6, rel
+
+
+def test_adts_ts_aac_passthrough_to_mp4(tmp_path):
+    """TS with ADTS AAC → copy:aac → mp4: the synthesized ASC matches
+    the stream and the track decodes in the oracle (WORK_PASS +
+    muxavformat extradata-from-track-info role)."""
+    if not ffaudio.available():
+        pytest.skip("libavcodec oracle unavailable")
+    _aac_probe()
+    import os
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(__file__))
+    import test_ts as tsfix
+    from handbrake_tpu.audio.aac import AACEncoder
+    from handbrake_tpu.codecs.h264.encoder import (EncoderConfig,
+                                                   H264Encoder)
+    from handbrake_tpu.job.schema import Job, AudioJobTrack
+    from handbrake_tpu.sources.probe import open_source
+    from handbrake_tpu import work
+
+    os.environ["HB_TPU_DISABLE_DEVICE"] = "1"
+    W, H, n = 96, 64, 12
+    sr = 48000
+    venc = H264Encoder(EncoderConfig(width=W, height=H, qp=28, gop=n))
+    aenc = AACEncoder(sr, 2, quality=118)
+    na = (n * 3003 * sr // 90000 // 1024 + 2) * 1024
+    t = np.arange(na) / sr
+    tone = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    aus = aenc.encode(np.stack([tone, tone * 0.7], 1)) + aenc.flush()
+
+    # PAT/PMT with H.264 + ADTS AAC (stream type 0x0F on pid 0x101)
+    def pmt_av(cc=0):
+        es = (bytes([0x1B, 0xE1, 0x00, 0xF0, 0x00])
+              + bytes([0x0F, 0xE1, 0x01, 0xF0, 0x00]))
+        body = (b"\x02"
+                + (0xB000 | (9 + 4 + len(es) + 4)).to_bytes(2, "big")
+                + b"\x00\x01\xc1\x00\x00"
+                + bytes([0xE1, 0x00]) + b"\xf0\x00" + es)
+        return tsfix.psi_packet(0x20, body, cc)
+
+    ts = tsfix.pat() + pmt_av()
+    ccv = cca = 0
+    base = (np.add.outer(np.arange(H), np.arange(W)) * 3 % 256).astype(
+        np.uint8)
+    apts = 0
+    ai = 0
+    for i in range(n):
+        au = venc.encode_frame(np.roll(base, i, 1),
+                               np.full((H // 2, W // 2), 110, np.uint8),
+                               np.full((H // 2, W // 2), 60, np.uint8))
+        pk = tsfix.ts_packets(0x100, tsfix.pes(0xE0, i * 3003, au), ccv)
+        ccv += len(pk) // 188
+        ts += pk
+        while ai < len(aus) and apts <= i * 3003:
+            adts = ffaudio.adts_wrap([aus[ai]], sample_rate=sr,
+                                     channels=2)
+            pk = tsfix.ts_packets(0x101, tsfix.pes(0xC0, apts, adts),
+                                  cca)
+            cca += len(pk) // 188
+            ts += pk
+            apts += 1024 * 90000 // sr
+            ai += 1
+    src_path = str(tmp_path / "a.ts")
+    with open(src_path, "wb") as f:
+        f.write(ts)
+
+    mp4 = str(tmp_path / "a.mp4")
+    j = Job(path=src_path, file=mp4, mux="mp4", vcodec="h264",
+            quality=26.0)
+    j.audio = [AudioJobTrack(track=0, encoder="copy:aac")]
+    stats = work.do_job(j)
+    assert not stats.get("error"), stats
+
+    d = open_source(mp4)
+    atrk = next(i for i, ti in enumerate(d.tracks)
+                if ti.kind == "audio")
+    ti = d.tracks[atrk]
+    assert ti.codec == "aac" and ti.sample_rate == sr
+    pkts = [d.read_sample(atrk, k).data for k in range(d.n_samples(atrk))]
+    assert len(pkts) > 5
+    adts = [ffaudio.adts_wrap([p], sample_rate=sr, channels=2)
+            for p in pkts]
+    got = np.asarray(ffaudio.FFAudioDecoder("aac").decode_packets(adts),
+                     np.float64)
+    g = got[2048:len(got) - 2048, 0]
+    tt = np.arange(len(g)) / sr
+    amp = 2 * np.hypot((g * np.cos(2 * np.pi * 440 * tt)).mean(),
+                       (g * np.sin(2 * np.pi * 440 * tt)).mean())
+    assert 0.3 < amp < 0.5, amp
+    d.close()
