@@ -32,6 +32,7 @@ AVERROR_EAGAIN = -11
 FRAME_NB_SAMPLES = 112
 FRAME_FORMAT = 116
 _frame_ch_layout_off = None     # located by probe decode
+_frame_ch_layout_cands = []     # all plausible offsets (old vs new field)
 _ctx_off = {}                   # per-field AVCodecContext offsets
 
 
@@ -140,16 +141,20 @@ class FFAudioDecoder:
             fmt = ints[FRAME_FORMAT // 4]
             if _frame_ch_layout_off is None:
                 # AVChannelLayout: order(0/1), nb_channels, u.mask with
-                # popcount(mask) == nb_channels (or mask 0, custom order)
+                # popcount(mask) == nb_channels (or mask 0, custom order).
+                # Older libavutil also has a deprecated channel_layout
+                # mask + channels pair that can false-positive; collect
+                # ALL candidates, encoders validate via get_buffer.
                 for i in range(30, 190):
                     if ints[i] in (0, 1) and 1 <= ints[i + 1] <= 8:
                         mask = (C.cast(f + i * 4 + 8,
                                        C.POINTER(C.c_ulonglong))
                                 .contents.value)
                         if mask and bin(mask).count("1") == ints[i + 1]:
-                            _frame_ch_layout_off = i * 4
-                            break
-                assert _frame_ch_layout_off is not None
+                            if i * 4 not in _frame_ch_layout_cands:
+                                _frame_ch_layout_cands.append(i * 4)
+                assert _frame_ch_layout_cands
+                _frame_ch_layout_off = _frame_ch_layout_cands[0]
             nch = ints[_frame_ch_layout_off // 4 + 1]
             datap = C.cast(f, C.POINTER(C.c_void_p * 8)).contents
             if fmt == AV_SAMPLE_FMT_FLTP:
@@ -198,6 +203,33 @@ class FFAudioDecoder:
         return np.concatenate(out, 0)
 
 
+def _locate_frame_size():
+    """Find AVCodecContext.frame_size by opening aac (frame_size 1024)
+    and ac3 (1536) and intersecting the candidate offsets."""
+    a, u = _a(), _u()
+    cands = None
+    for name, want in (("aac", 1024), ("ac3", 1536)):
+        codec = a.avcodec_find_encoder_by_name(name.encode())
+        if not codec:
+            return
+        ctx = a.avcodec_alloc_context3(C.c_void_p(codec))
+        _locate_ctx_offsets(ctx)
+        u.av_opt_set_int(C.c_void_p(ctx), b"ar", 48000, 0)
+        u.av_opt_set_int(C.c_void_p(ctx), b"b", 192000, 0)
+        u.av_channel_layout_default(
+            C.c_void_p(ctx + _ctx_off["ch_layout"]), 2)
+        if "sample_fmt" in _ctx_off:
+            C.cast(ctx + _ctx_off["sample_fmt"],
+                   C.POINTER(C.c_int)).contents.value = AV_SAMPLE_FMT_FLTP
+        if a.avcodec_open2(C.c_void_p(ctx), C.c_void_p(codec), None) < 0:
+            return
+        raw = C.cast(ctx, C.POINTER(C.c_int * 700)).contents
+        here = {i * 4 for i in range(700) if raw[i] == want}
+        cands = here if cands is None else (cands & here)
+    if cands and len(cands) >= 1:
+        _ctx_off["frame_size"] = sorted(cands)[0]
+
+
 class FFAudioEncoder:
     """Encode float32 PCM with a bundled libavcodec encoder (e.g. aac)."""
 
@@ -213,40 +245,62 @@ class FFAudioEncoder:
         off_sr = _ctx_off["sample_rate"]
         u.av_opt_set_int(C.c_void_p(self.ctx), b"ar", sample_rate, 0)
         u.av_opt_set_int(C.c_void_p(self.ctx), b"b", bit_rate, 0)
+        u.av_opt_set_int(C.c_void_p(self.ctx), b"strict", -2, 0)
         u.av_channel_layout_default(
             C.c_void_p(self.ctx + _ctx_off["ch_layout"]), channels)
         # sample_fmt: probe int fields near sample_rate; aac wants
         # fltp(8); mp2/pcm-style encoders want packed s16(1)
-        self.sample_fmt = {"fltp": AV_SAMPLE_FMT_FLTP,
-                           "s16": 1}[sample_fmt]
+        self.sample_fmt = {"fltp": AV_SAMPLE_FMT_FLTP, "s16": 1,
+                           "s32": 2, "flt": 3, "s16p": 6,
+                           "s32p": 7}[sample_fmt]
         opened = False
-        for delta in (4, 8, 12, 16, -4, 20):
-            off = off_sr + delta
-            old = C.cast(self.ctx + off, C.POINTER(C.c_int)).contents.value
+        if "sample_fmt" in _ctx_off:
+            off = _ctx_off["sample_fmt"]
             C.cast(self.ctx + off, C.POINTER(C.c_int)).contents.value = \
                 self.sample_fmt
-            if a.avcodec_open2(C.c_void_p(self.ctx), C.c_void_p(self.codec),
-                               None) >= 0:
-                opened = True
-                _ctx_off["sample_fmt"] = off
-                break
-            C.cast(self.ctx + off, C.POINTER(C.c_int)).contents.value = old
+            opened = a.avcodec_open2(C.c_void_p(self.ctx),
+                                     C.c_void_p(self.codec), None) >= 0
+        else:
+            # sample_fmt has no AVOption; it defaults to
+            # AV_SAMPLE_FMT_NONE (-1).  Probe every -1 int field near
+            # sample_rate with a FRESH context per attempt (open2 is not
+            # retryable on a failed context in all versions).
+            raw0 = C.cast(self.ctx, C.POINTER(C.c_int * 700)).contents
+            cands = [i * 4 for i in range(700) if raw0[i] == -1]
+            cands.sort(key=lambda o: abs(o - off_sr))
+            for off in cands:
+                ctx2 = a.avcodec_alloc_context3(C.c_void_p(self.codec))
+                u.av_opt_set_int(C.c_void_p(ctx2), b"ar", sample_rate, 0)
+                u.av_opt_set_int(C.c_void_p(ctx2), b"b", bit_rate, 0)
+                u.av_opt_set_int(C.c_void_p(ctx2), b"strict", -2, 0)
+                u.av_channel_layout_default(
+                    C.c_void_p(ctx2 + _ctx_off["ch_layout"]), channels)
+                C.cast(ctx2 + off, C.POINTER(C.c_int)).contents.value = \
+                    self.sample_fmt
+                if a.avcodec_open2(C.c_void_p(ctx2), C.c_void_p(self.codec),
+                                   None) >= 0:
+                    _ctx_off["sample_fmt"] = off
+                    self.ctx = ctx2
+                    opened = True
+                    break
         if not opened:
             raise RuntimeError("could not open encoder (sample_fmt probe)")
-        # frame_size: scan for 1024/1536-ish after open
-        raw = C.cast(self.ctx, C.POINTER(C.c_int * 700)).contents
-        self.frame_size = 0
-        for i in range(700):
-            if raw[i] in (120, 128, 256, 512, 576, 960, 1024, 1152, 1536,
-                          2048) and raw[i + 1] == 0 or False:
-                pass
-        # frame_size via avcodec API if exported
-        try:
-            a.av_get_audio_frame_duration.restype = C.c_int
-            self.frame_size = a.av_get_audio_frame_duration(
-                C.c_void_p(self.ctx), 0)
-        except Exception:
-            pass
+        # frame_size: locate the AVCodecContext field once by
+        # intersecting offsets holding known sizes for aac (1024) and
+        # ac3 (1536) freshly-opened contexts, then read it here.
+        if "frame_size" not in _ctx_off:
+            _locate_frame_size()
+        if "frame_size" in _ctx_off:
+            self.frame_size = C.cast(
+                self.ctx + _ctx_off["frame_size"],
+                C.POINTER(C.c_int)).contents.value
+        else:
+            try:
+                a.av_get_audio_frame_duration.restype = C.c_int
+                self.frame_size = a.av_get_audio_frame_duration(
+                    C.c_void_p(self.ctx), 0)
+            except Exception:
+                self.frame_size = 0
         if not self.frame_size:
             self.frame_size = 1024
         self.channels = channels
@@ -256,6 +310,7 @@ class FFAudioEncoder:
 
     def encode(self, pcm):
         """pcm: (n, ch) float32 → list of encoded packets (bytes)."""
+        global _frame_ch_layout_off
         a, u = _a(), _u()
         if _frame_ch_layout_off is None:
             raise RuntimeError("decode a probe stream first "
@@ -293,9 +348,20 @@ class FFAudioEncoder:
                    C.POINTER(C.c_int)).contents.value = fs
             C.cast(f + FRAME_FORMAT,
                    C.POINTER(C.c_int)).contents.value = self.sample_fmt
-            u.av_channel_layout_default(
-                C.c_void_p(f + _frame_ch_layout_off), self.channels)
-            if u.av_frame_get_buffer(C.c_void_p(f), 0) < 0:
+            # the decode probe may collect both the new AVChannelLayout
+            # and the deprecated channel_layout pair; validate via
+            # get_buffer which requires a usable layout
+            ok = False
+            for cand in ([_frame_ch_layout_off] +
+                         [c for c in _frame_ch_layout_cands
+                          if c != _frame_ch_layout_off]):
+                u.av_channel_layout_default(
+                    C.c_void_p(f + cand), self.channels)
+                if u.av_frame_get_buffer(C.c_void_p(f), 0) >= 0:
+                    _frame_ch_layout_off = cand
+                    ok = True
+                    break
+            if not ok:
                 raise RuntimeError("av_frame_get_buffer failed")
             datap = C.cast(f, C.POINTER(C.c_void_p * 8)).contents
             if self.sample_fmt == 1:       # packed s16, interleaved
@@ -304,6 +370,27 @@ class FFAudioEncoder:
                 ).astype("<i2")
                 C.memmove(datap[0], i16.ctypes.data,
                           fs * self.channels * 2)
+            elif self.sample_fmt == 2:     # packed s32, interleaved
+                i32 = np.ascontiguousarray(np.clip(
+                    chunk * 2147483392.0, -2 ** 31,
+                    2 ** 31 - 1)).astype("<i4")
+                C.memmove(datap[0], i32.ctypes.data,
+                          fs * self.channels * 4)
+            elif self.sample_fmt == 3:     # packed float, interleaved
+                fl = np.ascontiguousarray(chunk, np.float32)
+                C.memmove(datap[0], fl.ctypes.data,
+                          fs * self.channels * 4)
+            elif self.sample_fmt == 6:     # planar s16
+                for c in range(self.channels):
+                    i16 = np.ascontiguousarray(np.clip(
+                        chunk[:, c] * 32767.0, -32768, 32767)).astype("<i2")
+                    C.memmove(datap[c], i16.ctypes.data, fs * 2)
+            elif self.sample_fmt == 7:     # planar s32
+                for c in range(self.channels):
+                    i32 = np.ascontiguousarray(np.clip(
+                        chunk[:, c] * 2147483392.0, -2 ** 31,
+                        2 ** 31 - 1)).astype("<i4")
+                    C.memmove(datap[c], i32.ctypes.data, fs * 4)
             else:
                 for c in range(self.channels):
                     ch = np.ascontiguousarray(chunk[:, c], np.float32)

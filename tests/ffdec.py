@@ -19,6 +19,18 @@ _AV_CODEC_IDS = {"h264": 27, "hevc": 173, "mpeg2": 2, "av1": 226,
 
 
 def _libs():
+    # Prefer the system GPL build: it links libx264/libx265/libmp3lame/
+    # libopus/libvorbis (superset of OpenCV's LGPL bundle), enabling the
+    # north-star x264/x265 anchors and real-stream conformance fixtures.
+    sysdir = "/usr/lib/x86_64-linux-gnu"
+    try:
+        avutil = C.CDLL(os.path.join(sysdir, "libavutil.so.57"),
+                        mode=C.RTLD_GLOBAL)
+        avcodec = C.CDLL(os.path.join(sysdir, "libavcodec.so.59"),
+                         mode=C.RTLD_GLOBAL)
+        return avutil, avcodec
+    except OSError:
+        pass
     import cv2
     root = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(cv2.__file__))), "opencv_python.libs")
@@ -150,8 +162,16 @@ class FFDecoder:
         first_mb_in_slice is 0 (first slice-header bit '1' for h264;
         first_slice_segment_in_pic flag for hevc)."""
         import re
-        starts = [m.start() for m in re.finditer(b"\x00\x00\x00\x01",
-                                                 stream)]
+        # x264/x265 use 4-byte start codes for AU-leading NALs and 3-byte
+        # for the rest; match 3-byte and absorb a preceding zero.
+        starts = []
+        for m in re.finditer(b"\x00\x00\x01", stream):
+            s = m.start()
+            if s > 0 and stream[s - 1] == 0:
+                s -= 1
+            starts.append(s)
+        starts = [s for i, s in enumerate(starts)
+                  if i == 0 or s > starts[i - 1] + 2]
         if not starts:
             return [stream]
         starts.append(len(stream))
@@ -159,12 +179,15 @@ class FFDecoder:
         cur_has_vcl = False
         for s, e in zip(starts, starts[1:]):
             nal = stream[s:e]
+            off = 4 if nal[:4] == b"\x00\x00\x00\x01" else 3
             if kind == "h264":
-                vcl = (nal[4] & 0x1F) in (1, 5)
-                first = vcl and len(nal) > 5 and (nal[5] & 0x80) != 0
+                vcl = (nal[off] & 0x1F) in (1, 5)
+                first = vcl and len(nal) > off + 1 and \
+                    (nal[off + 1] & 0x80) != 0
             else:  # hevc: nal_unit_type in [0, 31] are VCL
-                vcl = ((nal[4] >> 1) & 0x3F) <= 31
-                first = vcl and len(nal) > 6 and (nal[6] & 0x80) != 0
+                vcl = ((nal[off] >> 1) & 0x3F) <= 31
+                first = vcl and len(nal) > off + 2 and \
+                    (nal[off + 2] & 0x80) != 0
             if vcl and first and cur_has_vcl:
                 aus.append(cur)
                 cur = b""

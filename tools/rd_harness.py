@@ -113,13 +113,12 @@ RUNNERS = {"h264": run_h264, "h264_host_i4": run_h264_host_i4,
            "h264_b": run_h264_b, "hevc": run_hevc, "av1": run_av1}
 
 
-def measure_anchors(frames, w, h, fps=30.0):
-    """Independent-encoder anchor curves via the bundled libavcodec
-    (tests/ffvideo.py).  No x264/x265 build ships in this environment, so
-    the anchors are libvpx-vp9 (CRF sweep — a stronger-than-x264-medium
-    reference) and mpeg4 (bitrate sweep — a weaker classical reference);
-    PSNR-delta-at-equal-bitrate against these brackets our codecs from
-    both sides."""
+def measure_anchors(frames, w, h, fps=30.0, full=True):
+    """Independent-encoder anchor curves via the system GPL libavcodec
+    (tests/ffvideo.py).  The headline anchors are **x264 medium** and
+    **x265 medium** CRF sweeps — the exact north-star references
+    (BASELINE.md; encx264.c:288 role) — plus libvpx-vp9 and mpeg4 to
+    bracket from both sides."""
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))), "tests"))
     import ffdec
@@ -160,14 +159,36 @@ def measure_anchors(frames, w, h, fps=30.0):
                                      bit_rate=kbps * 1000)
         return enc.encode(frames)
 
+    def x264(crf):
+        enc = ffvideo.FFVideoEncoder(
+            "libx264", w, h, int(fps), bit_rate=0,
+            opts={"preset": "medium", "crf": crf})
+        return enc.encode(frames)
+
+    def x265(crf):
+        enc = ffvideo.FFVideoEncoder(
+            "libx265", w, h, int(fps), bit_rate=0,
+            opts={"preset": "medium", "crf": crf,
+                  "x265-params": "log-level=error"})
+        return enc.encode(frames)
+
     try:
-        rate_points("vp9_crf", vp9, "vp9", [20, 28, 36, 44, 52])
+        rate_points("x264_medium", x264, "h264", [18, 23, 28, 33, 38])
     except Exception as e:  # noqa: BLE001 — anchor best-effort
-        print("vp9 anchor failed:", e)
+        print("x264 anchor failed:", e)
     try:
-        rate_points("mpeg4_abr", mpeg4, "mpeg4", [500, 250, 120, 60])
+        rate_points("x265_medium", x265, "hevc", [18, 23, 28, 33, 38])
     except Exception as e:  # noqa: BLE001
-        print("mpeg4 anchor failed:", e)
+        print("x265 anchor failed:", e)
+    if full:
+        try:
+            rate_points("vp9_crf", vp9, "vp9", [20, 28, 36, 44, 52])
+        except Exception as e:  # noqa: BLE001
+            print("vp9 anchor failed:", e)
+        try:
+            rate_points("mpeg4_abr", mpeg4, "mpeg4", [500, 250, 120, 60])
+        except Exception as e:  # noqa: BLE001
+            print("mpeg4 anchor failed:", e)
     return anchors
 
 
@@ -195,43 +216,71 @@ def measure(codec, frames, w, h, qps, fps=30.0):
     return rows
 
 
+def anchor_deltas(report, anchor_name, key):
+    """PSNR delta at equal bitrate vs an anchor (log-rate interp)."""
+    rows_a = report["anchors"].get(anchor_name) or []
+    if len(rows_a) < 2:
+        return
+    order = np.argsort([r["kbps"] for r in rows_a])
+    xs = np.log([rows_a[i]["kbps"] for i in order])
+    ys = np.asarray([rows_a[i]["psnr_y"] for i in order])
+    deltas = {}
+    for codec, rows in report["codecs"].items():
+        ds = []
+        for r in rows:
+            if not (xs.min() <= np.log(r["kbps"]) <= xs.max()):
+                continue
+            anchor_psnr = float(np.interp(np.log(r["kbps"]), xs, ys))
+            ds.append({"kbps": r["kbps"],
+                       f"delta_db_vs_{key}": round(r["psnr_y"]
+                                                   - anchor_psnr, 2)})
+        deltas[codec] = ds
+    report[f"psnr_delta_vs_{key}"] = deltas
+    print(f"deltas vs {key}", json.dumps(deltas), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--size", default="320x192")
     ap.add_argument("--codecs", default="h264,h264_host_i4,h264_b,hevc,av1")
     ap.add_argument("--qps", default="22,28,34,40")
+    ap.add_argument("--corpus", default="synthetic",
+                    choices=["synthetic", "real"],
+                    help="real = photographic 720p-class corpus "
+                         "(tools/corpus.py), the north-star measurement")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge this run into --out under a corpus key "
+                         "instead of overwriting the whole file")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "RD.json"))
     args = ap.parse_args()
     w, h = (int(x) for x in args.size.split("x"))
     qps = [int(q) for q in args.qps.split(",")]
-    frames = make_clip(w, h, args.frames)
-    report = {"size": args.size, "frames": args.frames, "codecs": {}}
+    if args.corpus == "real":
+        import corpus
+        frames = corpus.make_clip(w, h, args.frames)
+    else:
+        frames = make_clip(w, h, args.frames)
+    report = {"size": args.size, "frames": args.frames,
+              "corpus": args.corpus, "codecs": {}}
     for codec in args.codecs.split(","):
+        if not codec:
+            continue
         report["codecs"][codec] = measure(codec, frames, w, h, qps)
         print(codec, json.dumps(report["codecs"][codec]), flush=True)
-    report["anchors"] = measure_anchors(frames, w, h)
+    report["anchors"] = measure_anchors(frames, w, h,
+                                        full=args.corpus == "synthetic")
     print("anchors", json.dumps(report["anchors"]), flush=True)
-    # PSNR delta at equal bitrate vs the vp9 anchor (log-rate interp)
-    vp9 = report["anchors"].get("vp9_crf") or []
-    if len(vp9) >= 2:
-        xs = np.log([r["kbps"] for r in vp9])[::-1]
-        ys = np.asarray([r["psnr_y"] for r in vp9])[::-1]
-        deltas = {}
-        for codec, rows in report["codecs"].items():
-            ds = []
-            for r in rows:
-                if not (min(xs) <= np.log(r["kbps"]) <= max(xs)):
-                    continue
-                anchor_psnr = float(np.interp(np.log(r["kbps"]), xs, ys))
-                ds.append({"kbps": r["kbps"],
-                           "delta_db_vs_vp9": round(r["psnr_y"]
-                                                    - anchor_psnr, 2)})
-            deltas[codec] = ds
-        report["psnr_delta_vs_vp9"] = deltas
-        print("deltas", json.dumps(deltas), flush=True)
+    anchor_deltas(report, "x264_medium", "x264")
+    anchor_deltas(report, "x265_medium", "x265")
+    anchor_deltas(report, "vp9_crf", "vp9")
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            merged = json.load(f)
+        merged[f"{args.corpus}_{args.size}"] = report
+        report = merged
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print("wrote", args.out)
