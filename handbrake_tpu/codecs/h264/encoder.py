@@ -465,8 +465,13 @@ class H264Encoder:
                                            vp.ravel()])
             p.dev = self._analyzer(p.packed_src, *p.refs, qp, p.qpc)
             p.done_bytes = out
-            # eagerly start the device→host copy of the walker metadata
+            # eagerly start the device→host copies of the walker metadata
+            # AND the payload chunks we expect to need: under pipelined use
+            # (begin N+1 before finish N) these transfers overlap the next
+            # frame's device compute, hiding most of the fetch latency
             p.dev["packed_small"].copy_to_host_async()
+            for c in range(min(len(p.dev["payload"]), self._nch_guess)):
+                p.dev["payload"][c].copy_to_host_async()
             # next frame's reference = this frame's device recon (lazy; the
             # chain stays on device, hwaccel zero-copy style)
             self.recon_y = p.dev["recon_y"]

@@ -336,6 +336,7 @@ class Mpeg2Decoder:
         self.intra_m = DEFAULT_INTRA_MATRIX.copy()
         self.nonintra_m = np.full(64, 16, np.int32)
         self.progressive = True
+        import collections
         self._buf = b""
         self._out = []          # decoded frames in display order
         self._out_pts = []      # per-frame PES pts (display order)
@@ -343,6 +344,10 @@ class Mpeg2Decoder:
                                 # the caller per packet; PES pts are
                                 # presentation times, so each picture
                                 # keeps the pts it arrived with)
+        self._pts_q = collections.deque()   # pts per picture START seen:
+                                # a picture only fully decodes when the
+                                # NEXT start code delimits it, so the
+                                # association must queue, not overwrite
         self._fwd = None        # (y,u,v) reference planes
         self._bwd = None
         self._pending_ref = None   # decoded ref awaiting display slot
@@ -356,6 +361,14 @@ class Mpeg2Decoder:
         return self.flush()
 
     def feed(self, data: bytes):
+        # queue the caller-set pts once per picture start in this chunk
+        # (PES semantics: pts applies to the first AU starting in the
+        # packet; later pictures in the same chunk have no pts)
+        nstart = data.count(b"\x00\x00\x01\x00")
+        if nstart:
+            self._pts_q.append(self.cur_pts)
+            self._pts_q.extend([None] * (nstart - 1))
+        self.cur_pts = None
         self._buf += data
         # split into picture units at picture/sequence start codes
         self._process(final=False)
@@ -526,21 +539,21 @@ class Mpeg2Decoder:
             i += 4
         frame = (y[:self.h, :self.w], u[:self.h // 2, :self.w // 2],
                  v[:self.h // 2, :self.w // 2])
+        pic_pts = self._pts_q.popleft() if self._pts_q else None
         if ptype in (I_TYPE, P_TYPE):
             # reorder: previous ref becomes displayable
             if self._pending_ref is not None:
                 self._out.append(self._pending_ref)
                 self._out_pts.append(self._pending_pts)
             self._pending_ref = frame
-            self._pending_pts = self.cur_pts
+            self._pending_pts = pic_pts
             self._fwd = self._bwd
             self._bwd = (y, u, v)
             if self._fwd is None:
                 self._fwd = self._bwd
         else:
             self._out.append(frame)
-            self._out_pts.append(self.cur_pts)
-        self.cur_pts = None
+            self._out_pts.append(pic_pts)
 
     # -- slice -------------------------------------------------------------
     def _decode_slice(self, data: bytes, mb_row, st, planes):

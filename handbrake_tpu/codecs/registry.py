@@ -241,11 +241,21 @@ class Mpeg2VideoDecoder(VideoDecoder):
 
     def _wrap(self, frames, buf):
         out = []
+        # frame duration comes from the sequence-header frame rate, NOT
+        # the demux packet delta: with B pictures the packets arrive in
+        # decode order, so packet-delta durations are garbage
+        # (decavcodec.c:2333 compute_frame_duration role)
+        dur = None
+        if self.dec.w and self.dec.frame_rate and self.dec.frame_rate[0]:
+            fr = self.dec.frame_rate
+            dur = int(round(90000 * fr[1] / fr[0]))
         for item in frames:
             (y, u, v), pts = item if len(item) == 2 else (item, None)
             fb = Buffer(planes=[y, u, v],
                         pix_fmt=PIX_FMTS["yuv420p"]).copy_props(buf)
             fb.pts = pts
+            if dur:
+                fb.duration = dur
             fb.stop = (pts + fb.duration) if pts is not None \
                 and fb.duration else None
             fb.data = None

@@ -60,12 +60,38 @@ def test_mpeg2_decoder_conformance(opts, label):
             assert d.mean() < 0.2, (label, i, p, d.mean())
 
 
+def _display_pts(es_packets, pts0, tick):
+    """Display-order PTS per decode-order packet: GOP base frame count +
+    the picture header's 10-bit temporal_reference (the system libavcodec
+    mpeg2video honours bf=N, so decode order != display order)."""
+    ptss = []
+    base = 0
+    shown = 0
+    for pkt in es_packets:
+        tref = 0
+        i = 0
+        while i + 4 <= len(pkt):
+            if pkt[i:i + 3] == b"\x00\x00\x01":
+                sc = pkt[i + 3]
+                if sc == 0xB8:          # GOP header: new temporal base
+                    base = shown
+                elif sc == 0x00:        # picture header
+                    tref = (pkt[i + 4] << 2) | (pkt[i + 5] >> 6)
+                    break
+                i += 3
+            else:
+                i += 1
+        ptss.append(pts0 + (base + tref) * tick)
+        shown += 1
+    return ptss
+
+
 def _write_ps(path, es_packets, pts0=0, tick=3003):
     """Minimal MPEG-2 program stream: one pack per video PES packet."""
     out = bytearray()
-    pts = pts0
-    for pkt in es_packets:
-        scr = pts
+    ptss = _display_pts(es_packets, pts0, tick)
+    for idx, (pkt, pts) in enumerate(zip(es_packets, ptss)):
+        scr = pts0 + idx * tick        # SCR stays decode-order monotonic
         pack = bytearray(b"\x00\x00\x01\xba")
         # MPEG-2 pack header: '01' + SCR(33) + ext(9) + mux rate + stuffing
         b = bytearray(10)
@@ -92,7 +118,6 @@ def _write_ps(path, es_packets, pts0=0, tick=3003):
         body += pkt
         pes = b"\x00\x00\x01\xe0" + len(body).to_bytes(2, "big") + body
         out += pack + pes
-        pts += tick
     with open(path, "wb") as f:
         f.write(bytes(out))
 
