@@ -12,10 +12,18 @@ Baseline 30 fps ≈ x264 medium 1080p single-socket CPU encode (HandBrake
 publishes no absolute numbers — see BASELINE.md).
 
 Note: the axon tunnel's host↔device bandwidth/latency fluctuates by
->10x over time (shared infrastructure; measured 40 MB/s..1.1 GB/s on
+>10x over time (shared infrastructure; measured 10 MB/s..1.1 GB/s on
 different days), so e2e varies run to run. The breakdown fields and
 device_only_fps (pure on-chip throughput, no host round trips) separate
 engine speed from tunnel weather.
+
+Measured platform quirk (r5): after the FIRST device->host transfer of
+a session the axon runtime drops into a synchronous dispatch mode
+costing ~32 ms per device call regardless of compute; the analyzer
+itself runs 1080p analysis+deblock in ~0.2 ms/frame (measured pre-
+poisoning).  cfg.dispatch_batch=8 amortizes the fixed dispatch cost by
+scanning 8 frames per call (byte-identical streams, asserted in
+tests).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -58,52 +66,48 @@ def main():
     from handbrake_tpu.codecs.h264.encoder import H264Encoder, EncoderConfig
 
     W, H = 1920, 1080
-    n_warm, n_serial, n_pipe = 4, 8, 24
+    NB = 8                            # dispatch batch (see EncoderConfig)
+    n_warm, n_serial, n_pipe = 1 + NB, NB, 4 * NB
     frames = make_clip(W, H, n_warm + n_serial + n_pipe + 1)
     enc = H264Encoder(EncoderConfig(width=W, height=H, qp=26, gop=600,
                                     backend="device", deblock=True,
-                                    cabac=True, transform8x8=True))
+                                    cabac=True, transform8x8=True,
+                                    dispatch_batch=NB))
+    import collections
     import jax
 
     t_compile0 = time.perf_counter()
-    # phase 1 — warmup + serial segment (per-stage breakdown diagnostics)
+    # warmup: IDR + one full batch through entropy (compiles everything)
     total_bytes = 0
-    t0 = None
-    t_begin = t_dev = t_entropy = 0.0
-    for i in range(n_warm + n_serial):
-        f = frames[i]
-        meas = i >= n_warm
-        ta = time.perf_counter()
-        p = enc.begin_frame(*f)
-        tb = time.perf_counter()
-        if p.kind == "p":
-            jax.block_until_ready(p.dev["packed_small"])
-        tc = time.perf_counter()
-        out = enc.finish_frame(p)
-        td = time.perf_counter()
-        if meas:
-            t_begin += tb - ta       # host pack + upload + dispatch
-            t_dev += tc - tb         # device analysis+deblock + copy
-            t_entropy += td - tc     # payload fetch + native CABAC + NAL
-        total_bytes += len(out)
-        if i == n_warm - 1:
-            compile_s = time.perf_counter() - t_compile0
-    n_run = n_serial
-    dt_serial = (t_begin + t_dev + t_entropy) / n_serial
-    fps_serial = 1.0 / dt_serial
+    total_bytes += len(enc.encode_frame(*frames[0]))
+    pend = [enc.begin_frame(*f) for f in frames[1:1 + NB]]
+    for p in pend:
+        total_bytes += len(enc.finish_frame(p))
+    compile_s = time.perf_counter() - t_compile0
 
-    # phase 2 — pipelined segment (headline): begin frame N+1 before
-    # finishing frame N, so frame N's payload fetch + host CABAC overlap
-    # frame N+1's upload + device analysis (the begin/finish API built for
-    # this; work.c:2434 fifo-overlap analog).  Depth 2 keeps exactly one
-    # frame in flight on the device.
-    import collections
+    # phase 1 — one serial batch (per-stage breakdown diagnostics)
+    ta = time.perf_counter()
+    pend = [enc.begin_frame(*f) for f in frames[n_warm:n_warm + n_serial]]
+    tb = time.perf_counter()
+    rec = pend[-1].batch[0]
+    jax.block_until_ready(rec.outs["packed_small"])
+    tc = time.perf_counter()
+    for p in pend:
+        total_bytes += len(enc.finish_frame(p))
+    td = time.perf_counter()
+    t_begin, t_dev, t_entropy = tb - ta, tc - tb, td - tc
+    n_run = n_serial
+    fps_serial = n_serial / (td - ta)
+
+    # phase 2 — pipelined (headline): keep ~2 batches in flight so batch
+    # N's payload fetch + host CABAC overlap batch N+1's upload + device
+    # scan (the begin/finish API built for this; work.c:2434 overlap).
     pend = collections.deque()
     t0 = time.perf_counter()
     for i in range(n_warm + n_serial, n_warm + n_serial + n_pipe):
         p = enc.begin_frame(*frames[i])
         pend.append(p)
-        if len(pend) > 1:
+        if len(pend) > NB + 2:
             total_bytes += len(enc.finish_frame(pend.popleft()))
     while pend:
         total_bytes += len(enc.finish_frame(pend.popleft()))
@@ -125,19 +129,21 @@ def main():
     # device-only ceiling: analysis + in-loop deblock chained on device,
     # no host fetch — the pure engine speed a direct-attached host sees
     devfps = None
-    if enc._analyzer is not None:
+    if enc._batch_analyzer is not None:
         ry, ru, rv = enc.recon_y, enc.recon_u, enc.recon_v
-        pk_dev = jax.device_put(pk)
-        dev = enc._analyzer(pk_dev, ry, ru, rv, 26, 26)
-        jax.block_until_ready(dev["packed_small"])
+        scal = enc._dbscal(26, 26)
+        srcs = jax.device_put(np.stack([pk] * NB))
+        outs = enc._batch_analyzer(srcs, ry, ru, rv, 26, 26, scal)
+        jax.block_until_ready(outs["packed_small"])
         tb0 = time.perf_counter()
-        reps = 8
+        reps = 4
         for _ in range(reps):
-            # chain on the luma recon plane (serializes reps on-device);
-            # urec/vrec repeat for the chroma refs
-            dev = enc._analyzer(pk_dev, dev["recon_y"], ru, rv, 26, 26)
-        jax.block_until_ready(dev["packed_small"])
-        devfps = reps / (time.perf_counter() - tb0)
+            # chain the recon carry (serializes batches on-device)
+            outs = enc._batch_analyzer(srcs, outs["carry_y"],
+                                       outs["carry_u"], outs["carry_v"],
+                                       26, 26, scal)
+        jax.block_until_ready(outs["packed_small"])
+        devfps = reps * NB / (time.perf_counter() - tb0)
 
     print(json.dumps({
         "metric": "h264_1080p_encode_fps_e2e_per_chip",

@@ -216,9 +216,17 @@ def build_deblock_fn(mb_w: int, mb_h: int, with_strong: bool = True):
     traced (rate control never recompiles).
 
     with_strong=False builds the bS≤2 fast variant (all-inter frames —
-    the analyzer chain; intra frames must use the host/native filter)."""
+    the analyzer chain; intra frames must use the host/native filter).
+
+    Scan structure: step t reads skewed diagonal column t from the scan
+    *inputs* (xs), carries only the two in-flight columns (t-1, t-2) and
+    emits the finalized column t-2 through the scan's stacked outputs.
+    The earlier formulation carried the full skewed planes and rewrote
+    them with dynamic_update_slice every step — ~250 full-frame copies
+    per frame, ~100 ms on a v5e; this form moves ~0.5 MB per step and
+    runs the same math bit-exactly."""
     sk = mb_w + 2 * (mb_h - 1)
-    n_steps = sk                       # t = x + 2y ∈ [0, sk-1]
+    n_steps = sk + 2                   # 2 pad steps flush cols sk-2, sk-1
     alpha_t = jnp.asarray(ALPHA)
     beta_t = jnp.asarray(BETA)
     tc0_t = jnp.asarray(TC0)
@@ -231,47 +239,41 @@ def build_deblock_fn(mb_w: int, mb_h: int, with_strong: bool = True):
 
         bs_v, bs_h = compute_bs(mb_w, mb_h, mv.astype(jnp.int32),
                                 nnz, mb_intra, t8)
-        # pre-expand bS to sample granularity OUTSIDE the scan — the scan
-        # body is kernel-launch-bound, so the 8 per-step repeats moved here
-        sb_v = _skew(jnp.repeat(bs_v, 4, axis=3), mb_w, mb_h, sk)
-        sb_h = _skew(jnp.repeat(bs_h, 4, axis=3), mb_w, mb_h, sk)
+        # pre-expand bS to sample granularity OUTSIDE the scan; skew axis
+        # moves to the front so the scan slices per-step inputs for free
+        def xsify(a):
+            sw = jnp.swapaxes(a, 0, 1)           # (sk, mb_h, ...)
+            return jnp.concatenate(
+                [sw, jnp.zeros((2,) + sw.shape[1:], sw.dtype)], axis=0)
+
+        sb_v = xsify(_skew(jnp.repeat(bs_v, 4, axis=3), mb_w, mb_h, sk))
+        sb_h = xsify(_skew(jnp.repeat(bs_h, 4, axis=3), mb_w, mb_h, sk))
         cv8 = _skew(jnp.repeat(bs_v[:, :, (0, 2), :], 2, axis=3),
                     mb_w, mb_h, sk)              # (mb_h, sk, 2, 8)
         ch8 = _skew(jnp.repeat(bs_h[:, :, (0, 2), :], 2, axis=3),
                     mb_w, mb_h, sk)
-        sb_cv2 = jnp.concatenate([cv8, cv8], axis=0)   # u|v batched
-        sb_ch2 = jnp.concatenate([ch8, ch8], axis=0)
+        sb_cv2 = xsify(jnp.concatenate([cv8, cv8], axis=0))  # u|v
+        sb_ch2 = xsify(jnp.concatenate([ch8, ch8], axis=0))
 
         def mbify(p, bs):
             return (p.astype(jnp.int32)
                     .reshape(mb_h, bs, mb_w, bs).transpose(0, 2, 1, 3))
 
-        Ay = _skew(mbify(ry, 16), mb_w, mb_h, sk)
-        Au = _skew(mbify(ru, 8), mb_w, mb_h, sk)
-        Av = _skew(mbify(rv, 8), mb_w, mb_h, sk)
+        Xy = xsify(_skew(mbify(ry, 16), mb_w, mb_h, sk))
+        Xu = xsify(_skew(mbify(ru, 8), mb_w, mb_h, sk))
+        Xv = xsify(_skew(mbify(rv, 8), mb_w, mb_h, sk))
 
-        def col(a, t):
-            return jax.lax.dynamic_slice_in_dim(a, t, 1, axis=1)[:, 0]
-
-        def setcol(a, t, v):
-            return jax.lax.dynamic_update_slice_in_dim(
-                a, v[:, None], t, axis=1)
-
-        def step(carry, t):
-            # Slab scheme: the working windows are contiguous-axis slabs;
-            # edge filters slice 8-sample slabs and restack along the same
-            # axis — the only pattern Mosaic keeps relayout-free (see
+        def step(carry, xs_t):
+            # carry: column t-1 (L*) and t-2 (T*) working states; xs_t:
+            # this diagonal's pixels + expanded bS.  Slab scheme: edge
+            # filters slice contiguous 8-sample slabs and restack along
+            # the same axis — the only Mosaic-relayout-free pattern (see
             # _luma_edge docstring).
-            Ay, Au, Av = carry
-            tl = jnp.maximum(t - 1, 0)
-            tt = jnp.maximum(t - 2, 0)
-            bv = col(sb_v, t)                    # (mb_h, 4, 16)
-            bh = col(sb_h, t)
+            Ly, Ty, Lu, Tu, Lv, Tv = carry
+            C, Cu, Cv, bv, bh, b2v, b2h = xs_t
 
             # ---- luma V phase: columns [left-halo 4 | own 16] ----
-            C = col(Ay, t)                       # (mb_h, 16, 16)
-            L = col(Ay, tl)
-            T = col(Ay, tt)
+            L, T = Ly, Ty
             W = jnp.concatenate([L[:, :, 12:16], C], axis=2)  # (mb_h,16,20)
             for e in range(4):
                 W = W.at[:, :, 4 * e:4 * e + 8].set(
@@ -292,16 +294,11 @@ def build_deblock_fn(mb_w: int, mb_h: int, with_strong: bool = True):
                                   T[mb_h - 1:, 13:16, :]], axis=0)],
                 axis=1)
             C2 = Wh[:, 4:20, :]
-            Ay = setcol(Ay, tt, T2)
-            Ay = setcol(Ay, tl, L2)
-            Ay = setcol(Ay, t, C2)
 
             # ---- chroma (u and v batched on axis 0) ----
-            b2v = col(sb_cv2, t)                 # (2mb_h, 2, 8)
-            b2h = col(sb_ch2, t)
-            Cc = jnp.concatenate([col(Au, t), col(Av, t)], axis=0)
-            Lc = jnp.concatenate([col(Au, tl), col(Av, tl)], axis=0)
-            Tc = jnp.concatenate([col(Au, tt), col(Av, tt)], axis=0)
+            Cc = jnp.concatenate([Cu, Cv], axis=0)
+            Lc = jnp.concatenate([Lu, Lv], axis=0)
+            Tc = jnp.concatenate([Tu, Tv], axis=0)
             # columns [p1 p0 (left 6,7) | own 8] — both edges are
             # contiguous 4-col slabs at offsets 0 and 4
             Wc = jnp.concatenate([Lc[:, :, 6:8], Cc], axis=2)  # (n,8,10)
@@ -329,22 +326,24 @@ def build_deblock_fn(mb_w: int, mb_h: int, with_strong: bool = True):
                  jnp.concatenate([hrow[mb_h + 1:], Tc[-1:, 7:8, :]],
                                  axis=0)], axis=1)
             Cc2 = Wch[:, 2:10, :]
-            Au = setcol(Au, tt, Tu2)
-            Av = setcol(Av, tt, Tv2)
-            Au = setcol(Au, tl, Lc2[:mb_h])
-            Av = setcol(Av, tl, Lc2[mb_h:])
-            Au = setcol(Au, t, Cc2[:mb_h])
-            Av = setcol(Av, t, Cc2[mb_h:])
-            return (Ay, Au, Av), None
+            new_carry = (C2, L2, Cc2[:mb_h], Lc2[:mb_h],
+                         Cc2[mb_h:], Lc2[mb_h:])
+            return new_carry, (T2, Tu2, Tv2)
 
-        (Ay, Au, Av), _ = jax.lax.scan(step, (Ay, Au, Av),
-                                       jnp.arange(n_steps))
+        z = jnp.zeros((mb_h, 16, 16), jnp.int32)
+        zc = jnp.zeros((mb_h, 8, 8), jnp.int32)
+        carry0 = (z, z, zc, zc, zc, zc)
+        _, (Oy, Ou, Ov) = jax.lax.scan(
+            step, carry0, (Xy, Xu, Xv, sb_v, sb_h, sb_cv2, sb_ch2))
 
-        def unmbify(a, bs):
-            blocks = _deskew(a, mb_w, mb_h)
+        def unmbify(o, bs):
+            # o: (sk+2, mb_h, bs, bs); finalized col t-2 was emitted at
+            # step t, so skew column s lives at o[s+2]
+            blocks = jnp.stack(
+                [o[2 * y + 2:2 * y + 2 + mb_w, y] for y in range(mb_h)])
             return (blocks.transpose(0, 2, 1, 3)
                     .reshape(mb_h * bs, mb_w * bs).astype(jnp.uint8))
 
-        return unmbify(Ay, 16), unmbify(Au, 8), unmbify(Av, 8)
+        return unmbify(Oy, 16), unmbify(Ou, 8), unmbify(Ov, 8)
 
     return deblock

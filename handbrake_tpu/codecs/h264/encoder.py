@@ -75,6 +75,14 @@ class EncoderConfig:
     # 8x8 transform for inter MBs (High profile, spec 7.3.5
     # transform_size_8x8_flag). Host walker only: forces backend="host".
     transform8x8: bool = False
+    # Batched device dispatch: analyze N consecutive P frames in ONE
+    # device call (lax.scan chains the recon refs on device).  Measured
+    # on the axon v5e: after the first device→host fetch the runtime
+    # drops to a ~32 ms synchronous dispatch mode, so per-frame dispatch
+    # caps the engine near 31 fps regardless of kernels; batching
+    # amortizes it.  Rate control coarsens to per-batch qp.  begin/
+    # finish API unchanged (finish flushes a partial batch).
+    dispatch_batch: int = 1
 
 
 class MBCtx:
@@ -339,13 +347,44 @@ _CODED_ORDER_C = np.array([0, 1, 2, 3])
 class _Pending:
     """In-flight frame: device analysis dispatched, entropy not yet done."""
     __slots__ = ("kind", "done_bytes", "dev", "qp", "qpc", "src",
-                 "packed_src", "refs", "redo_refs", "frame_num")
+                 "packed_src", "refs", "redo_refs", "frame_num", "dbscal",
+                 "batch", "batch_next")
 
     def __init__(self):
         self.kind = "done"
         self.done_bytes = b""
         self.dev = None
         self.redo_refs = None
+        self.dbscal = None
+        self.batch = None            # (rec, k) once dispatched batched
+        self.batch_next = None       # next pending of the same batch
+
+
+class _BatchRec:
+    """One dispatched N-frame batch: stacked analyzer outputs + the
+    one-round-trip host fetch of the entropy walker's inputs."""
+    __slots__ = ("outs", "n_real", "used_refs", "small_np", "payload_np",
+                 "nch", "next_first")
+
+    def __init__(self, outs, n_real, used_refs):
+        self.outs = outs
+        self.n_real = n_real
+        self.used_refs = used_refs
+        self.small_np = None
+        self.payload_np = None
+        self.nch = 0
+        self.next_first = None       # first pending of the next batch
+                                     # that consumed this batch's carry
+
+    def fetch(self, guess):
+        if self.small_np is not None:
+            return
+        import jax
+        guess = max(1, min(guess, self.outs["payload"].shape[1]))
+        got = jax.device_get([self.outs["packed_small"],
+                              self.outs["payload"][:, :guess]])
+        self.small_np, self.payload_np = got
+        self.nch = guess
 
 
 class H264Encoder:
@@ -409,6 +448,9 @@ class H264Encoder:
         self._queue = collections.deque()   # in-flight begin_frame order
         self._nch_guess = 8                 # payload chunks likely needed
         self._analyzer = None
+        self._batch_analyzer = None
+        self._batch_accum = []
+        self._batch_n = 1
         if cfg.backend == "device":
             from .encoder_tpu import build_p_analyzer
             # with cfg.deblock the analyzer chains the wavefront loop
@@ -417,10 +459,33 @@ class H264Encoder:
             self._analyzer = build_p_analyzer(
                 self.mb_w, self.mb_h, deblock=cfg.deblock,
                 transform8x8=cfg.transform8x8)
+            if cfg.dispatch_batch > 1:
+                from .encoder_tpu import build_p_analyzer_batch
+                self._batch_n = int(cfg.dispatch_batch)
+                self._batch_analyzer = build_p_analyzer_batch(
+                    self.mb_w, self.mb_h, self._batch_n,
+                    deblock=cfg.deblock, transform8x8=cfg.transform8x8)
 
     # -- frame-level -------------------------------------------------------
     def headers(self) -> bytes:
         return self.sps.to_nal() + self.pps.to_nal()
+
+    def _dbscal(self, qp, qpc):
+        """Host-side alpha/beta/tc0 SMEM parameter for the Pallas
+        deblock (deblock_pallas.deblock_scal); None when the in-loop
+        filter is off.  Cached per (qp, qpc) — rate control varies qp
+        per frame but the table row is 10 ints."""
+        if not self.cfg.deblock or self._analyzer is None:
+            return None
+        key = (qp, qpc)
+        cache = getattr(self, "_dbscal_cache", None)
+        if cache is None:
+            cache = self._dbscal_cache = {}
+        if key not in cache:
+            from .deblock_pallas import deblock_scal
+            import jax
+            cache[key] = jax.device_put(deblock_scal(qp, qpc))
+        return cache[key]
 
     def _pad_to_mb(self, plane, mbsize):
         Ht, Wt = self.mb_h * mbsize, self.mb_w * mbsize
@@ -441,6 +506,9 @@ class H264Encoder:
         immediately (host-native I slice); device P frames return with the
         TPU analysis in flight. Call finish_frame() in FIFO order."""
         idr = (self.frame_idx % self.cfg.gop) == 0
+        if idr and self._batch_accum:
+            # the accumulated P frames anchor on the pre-IDR recon chain
+            self._dispatch_batch()
         self.last_frame_was_idr = idr
         qp = self.cfg.qp if qp is None else int(qp)
         self.lm = self.cfg.lm if self.cfg.lm is not None \
@@ -459,24 +527,35 @@ class H264Encoder:
             p.kind = "p"
             p.qpc = T.chroma_qp(qp, self.cfg.chroma_qp_offset)
             p.src = (yp, up, vp)
-            p.refs = (self.recon_y, self.recon_u, self.recon_v)
             # one host→device transfer per frame (planes packed)
             p.packed_src = np.concatenate([yp.ravel(), up.ravel(),
                                            vp.ravel()])
-            p.dev = self._analyzer(p.packed_src, *p.refs, qp, p.qpc)
+            p.dbscal = self._dbscal(qp, p.qpc)
             p.done_bytes = out
-            # eagerly start the device→host copies of the walker metadata
-            # AND the payload chunks we expect to need: under pipelined use
-            # (begin N+1 before finish N) these transfers overlap the next
-            # frame's device compute, hiding most of the fetch latency
-            p.dev["packed_small"].copy_to_host_async()
-            for c in range(min(len(p.dev["payload"]), self._nch_guess)):
-                p.dev["payload"][c].copy_to_host_async()
-            # next frame's reference = this frame's device recon (lazy; the
-            # chain stays on device, hwaccel zero-copy style)
-            self.recon_y = p.dev["recon_y"]
-            self.recon_u = p.dev["urec"]
-            self.recon_v = p.dev["vrec"]
+            if self._batch_analyzer is not None:
+                # deferred: dispatched as part of an N-frame batch (the
+                # scan chains refs on device; see cfg.dispatch_batch)
+                p.refs = None
+                self._batch_accum.append(p)
+                if len(self._batch_accum) >= self._batch_n:
+                    self._dispatch_batch()
+            else:
+                p.refs = (self.recon_y, self.recon_u, self.recon_v)
+                p.dev = self._analyzer(p.packed_src, *p.refs, qp, p.qpc,
+                                       p.dbscal)
+                # eagerly start the device→host copies of the walker
+                # metadata AND the payload chunks we expect to need:
+                # under pipelined use (begin N+1 before finish N) these
+                # transfers overlap the next frame's device compute
+                p.dev["packed_small"].copy_to_host_async()
+                for c in range(min(len(p.dev["payload"]),
+                                   self._nch_guess)):
+                    p.dev["payload"][c].copy_to_host_async()
+                # next frame's reference = this frame's device recon
+                # (lazy; the chain stays on device, hwaccel zero-copy)
+                self.recon_y = p.dev["recon_y"]
+                self.recon_u = p.dev["urec"]
+                self.recon_v = p.dev["vrec"]
         else:
             p.done_bytes = out + self._encode_slice(yp, up, vp, idr,
                                                     analysis, qp)
@@ -485,22 +564,88 @@ class H264Encoder:
         self._queue.append(p)
         return p
 
+    def _dispatch_batch(self):
+        """Run the accumulated P frames through the batched analyzer in
+        one device dispatch (cfg.dispatch_batch)."""
+        accum = self._batch_accum
+        if not accum:
+            return
+        self._batch_accum = []
+        qp, qpc = accum[0].qp, accum[0].qpc
+        for p in accum:              # the batch shares one qp (RC per batch)
+            p.qp, p.qpc = qp, qpc
+        srcs = np.stack([p.packed_src for p in accum])
+        if len(accum) < self._batch_n:
+            srcs = np.concatenate(
+                [srcs, np.repeat(srcs[-1:], self._batch_n - len(accum),
+                                 axis=0)])
+        refs = (self.recon_y, self.recon_u, self.recon_v)
+        outs = self._batch_analyzer(srcs, *refs, qp, qpc,
+                                    self._dbscal(qp, qpc))
+        rec = _BatchRec(outs, len(accum), refs)
+        for k, p in enumerate(accum):
+            p.batch = (rec, k)
+            p.batch_next = accum[k + 1] if k + 1 < len(accum) else None
+        # link for carry-patch propagation: if our refs were the carry of
+        # a previous batch record, that record must know whom to redo
+        prev = getattr(self, "_last_batch_rec", None)
+        if prev is not None and refs[0] is getattr(self, "_last_carry", None):
+            prev.next_first = accum[0]
+        k_last = len(accum) - 1
+        self.recon_y = outs["recon_y"][k_last]
+        self.recon_u = outs["urec"][k_last]
+        self.recon_v = outs["vrec"][k_last]
+        self._last_batch_rec = rec
+        self._last_carry = self.recon_y
+
+    def _batched_dev(self, p):
+        """Per-frame view dict over a _BatchRec, shaped like a
+        single-frame analyzer output for _encode_slice_device."""
+        rec, k = p.batch
+        rec.fetch(self._nch_guess)
+        outs = rec.outs
+        n_chunks = outs["payload"].shape[1]
+        dev = {"packed_small": rec.small_np[k],
+               "payload": [rec.payload_np[k, c] if c < rec.nch
+                           else outs["payload"][k, c]
+                           for c in range(n_chunks)]}
+        for key in ("luma_lv", "udc", "uac", "vdc", "vac",
+                    "recon_y", "urec", "vrec",
+                    "recon_y_nf", "urec_nf", "vrec_nf"):
+            if key in outs:
+                dev[key] = outs[key][k]
+        dev["_batch_next"] = p.batch_next
+        dev["_batch_last"] = (k == rec.n_real - 1)
+        dev["_batch_rec"] = rec
+        return dev
+
     def finish_frame(self, p) -> bytes:
         """Entropy-code a begun frame. Must be called in begin order."""
         assert self._queue and self._queue[0] is p, "finish order must be FIFO"
         self._queue.popleft()
         if p.kind == "done":
             return p.done_bytes
+        if p.kind == "p" and p.dev is None and p.batch is None \
+                and p.redo_refs is None:
+            self._dispatch_batch()   # partial-batch flush
         if p.redo_refs is not None:
             # a predecessor patched the reference this analysis consumed
             # (intra fallback after dispatch) — re-run against the fix
-            old = p.dev
+            old = p.dev if p.dev is not None else \
+                (self._batched_dev(p) if p.batch is not None else None)
             p.refs = p.redo_refs
-            p.dev = self._analyzer(p.packed_src, *p.refs, p.qp, p.qpc)
-            self._propagate_refs(old, (p.dev["recon_y"], p.dev["urec"],
-                                       p.dev["vrec"]))
+            p.dev = self._analyzer(p.packed_src, *p.refs, p.qp, p.qpc,
+                                   p.dbscal)
+            new = (p.dev["recon_y"], p.dev["urec"], p.dev["vrec"])
+            if old is not None:
+                self._propagate_refs(old, new)
+            if p.batch_next is not None:
+                # the batch successor's analysis also used stale refs
+                p.batch_next.redo_refs = new
+            p.batch = None
+        dev = p.dev if p.dev is not None else self._batched_dev(p)
         return p.done_bytes + self._encode_slice_device(
-            p.src[0], p.src[1], p.src[2], p.dev, p.qp,
+            p.src[0], p.src[1], p.src[2], dev, p.qp,
             frame_num=p.frame_num)
 
     def encode_p_from_analysis(self, yp, up, vp, dev, qp=None) -> bytes:
@@ -524,11 +669,26 @@ class H264Encoder:
     def _propagate_refs(self, old_dev, new_refs):
         """Re-point everything that referenced old_dev's recon arrays."""
         for q in self._queue:
-            if q.kind == "p" and q.refs[0] is old_dev["recon_y"]:
+            if q.kind == "p" and q.refs is not None \
+                    and q.refs[0] is old_dev["recon_y"]:
                 # keep q.refs current so a later propagation (e.g. the
                 # re-dispatched frame itself getting patched) still matches
                 q.refs = new_refs
                 q.redo_refs = new_refs
+        # batched frames chain explicitly (views break identity checks)
+        nxt = old_dev.get("_batch_next")
+        if nxt is not None and nxt in self._queue:
+            nxt.redo_refs = new_refs
+        if old_dev.get("_batch_last"):
+            rec = old_dev.get("_batch_rec")
+            if rec is not None and rec.next_first is not None \
+                    and rec.next_first in self._queue:
+                # a later batch consumed this batch's (now stale) carry
+                rec.next_first.redo_refs = new_refs
+            if self.recon_y is getattr(self, "_last_carry", None) \
+                    and rec is getattr(self, "_last_batch_rec", None):
+                self.recon_y, self.recon_u, self.recon_v = new_refs
+                self._last_carry = self.recon_y
         if self.recon_y is old_dev["recon_y"]:
             self.recon_y, self.recon_u, self.recon_v = new_refs
 

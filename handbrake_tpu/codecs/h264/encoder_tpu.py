@@ -370,13 +370,51 @@ def build_p_analyzer(mb_w: int, mb_h: int, interpret: bool | None = None,
     H, W = mb_h * 16, mb_w * 16
     ny, nc = H * W, (H // 2) * (W // 2)
 
-    def analyze_packed(src, ref_y, ref_u, ref_v, qp, qpc):
+    def analyze_packed(src, ref_y, ref_u, ref_v, qp, qpc, dbscal=None):
         y = src[:ny].reshape(H, W)
         u = src[ny:ny + nc].reshape(H // 2, W // 2)
         v = src[ny + nc:ny + 2 * nc].reshape(H // 2, W // 2)
-        return fn(y, u, v, ref_y, ref_u, ref_v, qp, qpc)
+        return fn(y, u, v, ref_y, ref_u, ref_v, qp, qpc, dbscal)
 
     return jax.jit(analyze_packed)
+
+
+def build_p_analyzer_batch(mb_w: int, mb_h: int, n_frames: int,
+                           deblock: bool = False,
+                           transform8x8: bool = False):
+    """N-frame batched analyzer: ONE device dispatch runs a lax.scan of
+    the per-frame analyzer, chaining the recon references on device.
+
+    Motivation (measured on the axon v5e tunnel): after the first
+    device→host transfer the runtime drops into a synchronous dispatch
+    mode costing ~32 ms per call regardless of compute (~0.2 ms/frame);
+    batching amortizes that fixed cost over n_frames.  qp is shared by
+    the batch (rate control quantizes per batch — the lookahead-group
+    granularity x264's VBV also uses between filler checks).
+
+    Returns jitted fn(srcs, ref_y, ref_u, ref_v, qp, qpc, dbscal) where
+    srcs is (N, ny+2nc) uint8; output dict fields are stacked (N, ...);
+    final recon planes ride in "carry_y/u/v"."""
+    fn = build_p_analyzer_fn(mb_w, mb_h, deblock=deblock,
+                             transform8x8=transform8x8)
+    H, W = mb_h * 16, mb_w * 16
+    ny, nc = H * W, (H // 2) * (W // 2)
+
+    def analyze_batch(srcs, ref_y, ref_u, ref_v, qp, qpc, dbscal=None):
+        def step(carry, src):
+            ry, ru, rv = carry
+            y = src[:ny].reshape(H, W)
+            u = src[ny:ny + nc].reshape(H // 2, W // 2)
+            v = src[ny + nc:].reshape(H // 2, W // 2)
+            d = fn(y, u, v, ry, ru, rv, qp, qpc, dbscal)
+            out = {k: d[k] for k in d if k != "payload"}
+            out["payload"] = jnp.stack(d["payload"])
+            return (d["recon_y"], d["urec"], d["vrec"]), out
+        carry, outs = jax.lax.scan(step, (ref_y, ref_u, ref_v), srcs)
+        outs["carry_y"], outs["carry_u"], outs["carry_v"] = carry
+        return outs
+
+    return jax.jit(analyze_batch)
 
 
 def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None,
@@ -398,12 +436,23 @@ def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None,
     r = REFINE_R
     side = 2 * r + 1
     deblock_fn = None
+    pallas_deblock = False
     if deblock:
-        from .deblock_tpu import build_deblock_fn
-        # all-inter frames only (bS ≤ 2): the fast no-strong variant
-        deblock_fn = build_deblock_fn(mb_w, mb_h, with_strong=False)
+        # all-inter frames only (bS ≤ 2): the fast no-strong variant.
+        # On a real TPU the Pallas wavefront kernel runs the whole scan
+        # as one kernel (~300x the XLA scan measured on v5e); other
+        # backends use the portable XLA formulation.
+        if jax.default_backend() == "tpu":
+            from .deblock_pallas import build_deblock_pallas
+            deblock_fn = build_deblock_pallas(mb_w, mb_h,
+                                              with_strong=False)
+            pallas_deblock = True
+        else:
+            from .deblock_tpu import build_deblock_fn
+            deblock_fn = build_deblock_fn(mb_w, mb_h, with_strong=False)
 
-    def analyze(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc):
+    def analyze(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
+                dbscal=None):
         src_y = src_y.astype(jnp.int32)
         src_mb = (src_y.reshape(mb_h, 16, mb_w, 16)
                   .transpose(0, 2, 1, 3).reshape(n_mb, 16, 16))
@@ -646,11 +695,12 @@ def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None,
         rec_v_p = plane(vrec, 8)
         extra = {}
         if deblock_fn is not None:
+            kw = {"scal": dbscal} if pallas_deblock else {}
             dby, dbu, dbv = deblock_fn(
                 rec_y_p, rec_u_p, rec_v_p, mv16,
                 nnz.astype(jnp.int32),
                 jnp.zeros((n_mb,), bool),        # all-inter assumption
-                t8_flags, qp, qpc)
+                t8_flags, qp, qpc, **kw)
             extra = {"recon_y_nf": rec_y_p, "urec_nf": rec_u_p,
                      "vrec_nf": rec_v_p}
             rec_y_p, rec_u_p, rec_v_p = dby, dbu, dbv
