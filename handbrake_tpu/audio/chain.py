@@ -64,6 +64,27 @@ class AudioChain:
                 self.out_channels = 2 if self.out_channels < 6 else 6
             br = int(self.spec.bitrate or 192) * 1000
             return Ac3Encoder(self.sr_out, self.out_channels, br)
+        if self.codec in ("mp3", "opus", "vorbis"):
+            # the libavcodec catalog (encavcodecaudio.c:573 role —
+            # upstream also routes these through lavc/LAME/libopus)
+            from ..codecs import avcodec as av
+            if av.available():
+                if self.codec == "opus" and self.sr_out not in (
+                        48000, 24000, 16000, 12000, 8000):
+                    self.sr_out = 48000
+                if self.out_channels > 2:
+                    self.mixdown = "stereo"
+                    self.out_channels = 2
+                br = int(self.spec.bitrate or 160) * 1000
+                name = {"mp3": "libmp3lame", "opus": "libopus",
+                        "vorbis": "libvorbis"}[self.codec]
+                return av.AVAudioEncoder(name, self.sr_out,
+                                         self.out_channels, br)
+            from ..utils.logging import log
+            log(f"audio encoder {self.codec!r}: libavcodec unavailable "
+                f"— encoding FLAC (lossless) instead")
+            self.codec = "flac"
+            return FlacEncoder(self.sr_out, self.out_channels, 16)
         if self.codec in ("aac", "av_aac", "ca_aac"):
             from .aac import AACEncoder
             if self.sr_out not in (44100, 48000):
@@ -91,8 +112,9 @@ class AudioChain:
             return self.ti.codec
         return {"flac": "flac", "pcm": "pcm_s16le",
                 "pcm_s16le": "pcm_s16le", "aac": "aac", "av_aac": "aac",
-                "ca_aac": "aac", "ac3": "ac3",
-                "eac3": "ac3"}.get(self.codec, "pcm_s16le")
+                "ca_aac": "aac", "ac3": "ac3", "eac3": "ac3",
+                "mp3": "mp3", "opus": "opus",
+                "vorbis": "vorbis"}.get(self.codec, "pcm_s16le")
 
     def extradata(self, initial: bool = False) -> bytes:
         """Codec config for the muxer. ``initial=True`` (header written
@@ -117,6 +139,8 @@ class AudioChain:
                 | (e.acmod << 11) | (e.lfeon << 10) \
                 | ((e.frmsizecod >> 1) << 5)
             return v.to_bytes(3, "big")
+        if self.out_codec() in ("opus", "vorbis") and self._enc is not None:
+            return self._enc.extradata     # OpusHead / Xiph lacing
         if self.is_passthrough():
             return self.ti.extradata
         return b""
@@ -154,6 +178,9 @@ class AudioChain:
         return b
 
     def _encode(self, pcm: np.ndarray) -> list:
+        if self.out_codec() in ("mp3", "opus", "vorbis"):
+            return [self._packet(data, dur) for data, dur
+                    in self._enc.encode(np.clip(pcm, -1, 1))]
         if self.out_codec() == "ac3":
             return [self._packet(fr, 1536)
                     for fr in self._enc.encode(np.clip(pcm, -1, 1))]
@@ -179,6 +206,10 @@ class AudioChain:
         return [self._packet(data, len(pcm))]
 
     def flush(self) -> list:
+        if self.out_codec() in ("mp3", "opus", "vorbis") \
+                and self._enc is not None:
+            return [self._packet(data, dur) for data, dur
+                    in self._enc.flush()]
         if self.out_codec() == "aac" and self._enc is not None:
             return [self._packet(au, 1024) for au in self._enc.flush()]
         if self.out_codec() == "ac3" and self._enc is not None:

@@ -283,7 +283,49 @@ class Mpeg2VideoDecoder(VideoDecoder):
         return dict(self._info)
 
 
-def create_video_decoder(codec: str, extradata: bytes = b"") -> VideoDecoder:
+class AVFallbackVideoDecoder(VideoDecoder):
+    """libavcodec video personality (decavcodec.c:1709 role) for the
+    codecs without native decoders: VP8/VP9, Theora, MPEG-4 ASP, FFV1,
+    ProRes — and universal HEVC input beyond the native subset."""
+
+    def __init__(self, codec: str, extradata: bytes = b"",
+                 width: int = 0, height: int = 0):
+        from .avcodec import AVVideoDecoder
+        name = {"mpeg4": "mpeg4", "vp9": "vp9", "vp8": "vp8",
+                "theora": "theora", "ffv1": "ffv1", "prores": "prores",
+                "hevc": "hevc", "av1": "av1"}[codec]
+        self.dec = AVVideoDecoder(name, extradata=bytes(extradata or b""),
+                                  width=width, height=height)
+        self._info: dict = {}
+
+    def _wrap(self, frames, buf):
+        out = []
+        for (y, u, v) in frames:
+            if not self._info:
+                self._info = {"width": y.shape[1], "height": y.shape[0],
+                              "pix_fmt": "yuv420p"}
+            fb = Buffer(planes=[y, u, v], pix_fmt=PIX_FMTS["yuv420p"])
+            if buf is not None:
+                fb.copy_props(buf)
+            fb.planes = [y, u, v]
+            fb.data = None
+            out.append(fb)
+        return out
+
+    def feed(self, buf: Buffer) -> list:
+        if buf.data is None:
+            return []
+        return self._wrap(self.dec.decode(bytes(buf.data)), buf)
+
+    def flush(self) -> list:
+        return self._wrap(self.dec.flush(), None)
+
+    def info(self) -> dict:
+        return dict(self._info)
+
+
+def create_video_decoder(codec: str, extradata: bytes = b"",
+                         width: int = 0, height: int = 0) -> VideoDecoder:
     if codec == "mjpeg":
         return MJPEGVideoDecoder(extradata)
     if codec == "h264":
@@ -296,4 +338,9 @@ def create_video_decoder(codec: str, extradata: bytes = b"") -> VideoDecoder:
         return Mpeg2VideoDecoder(extradata)
     if codec == "rawvideo":
         return RawVideoDecoder()
+    if codec in ("vp9", "vp8", "theora", "mpeg4", "ffv1", "prores"):
+        from .avcodec import available
+        if available():
+            return AVFallbackVideoDecoder(codec, extradata,
+                                          width=width, height=height)
     raise ValueError(f"no decoder for codec {codec!r}")

@@ -85,7 +85,9 @@ class MKVWriter:
                         fps: float = 0.0, language: str = "und") -> int:
         cid = {"h264": "V_MPEG4/ISO/AVC", "hevc": "V_MPEGH/ISO/HEVC",
                "av1": "V_AV1", "vp9": "V_VP9", "vp8": "V_VP8",
-               "theora": "V_THEORA"}[codec]
+               "theora": "V_THEORA", "mpeg2": "V_MPEG2",
+               "mpeg4": "V_MPEG4/ISO/ASP", "ffv1": "V_FFV1",
+               "prores": "V_PRORES"}[codec]
         dd = int(1e9 / fps) if fps else 0
         t = MKTrack(len(self.tracks) + 1, "video", cid, width=width,
                     height=height, private=private, language=language,

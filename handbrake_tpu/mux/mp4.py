@@ -315,6 +315,10 @@ class MP4Writer:
                     + struct.pack(">I", t.sample_rate << 16))
             if t.codec == "aac":
                 return box(b"mp4a", body + self._esds(t))
+            if t.codec == "mp3":
+                # MPEG-1 layer III rides mp4a + esds with
+                # objectTypeIndication 0x6B, no DecSpecificInfo
+                return box(b"mp4a", body + self._esds(t, oti=0x6B))
             if t.codec in ("pcm_s16le", "lpcm"):
                 return box(b"sowt", body)
             if t.codec == "ac3":
@@ -337,7 +341,7 @@ class MP4Writer:
                 + b"\xff\xff\xff\xff" + ftab)
         return box(b"tx3g", body)
 
-    def _esds(self, t: Track) -> bytes:
+    def _esds(self, t: Track, oti: int = 0x40) -> bytes:
         asc = t.extradata or b"\x11\x90"  # AAC-LC 48k stereo default
 
         def desc(tag, payload):
@@ -351,8 +355,8 @@ class MP4Writer:
                     break
             return bytes([tag]) + size + payload
 
-        dec_specific = desc(0x05, asc)
-        dec_config = desc(0x04, bytes([0x40, 0x15]) + b"\x00\x00\x00"
+        dec_specific = desc(0x05, asc) if oti == 0x40 else b""
+        dec_config = desc(0x04, bytes([oti, 0x15]) + b"\x00\x00\x00"
                           + struct.pack(">II", 0, 0) + dec_specific)
         sl = desc(0x06, b"\x02")
         es = desc(0x03, struct.pack(">HB", t.track_id, 0)

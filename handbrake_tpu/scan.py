@@ -165,7 +165,8 @@ def _decode_previews(src, video_track: int, preview_count: int) -> list:
     ti = src.tracks[video_track]
     previews = []
     try:
-        dec = create_video_decoder(ti.codec, ti.extradata)
+        dec = create_video_decoder(ti.codec, ti.extradata,
+                                   width=ti.width, height=ti.height)
     except ValueError:
         return previews
     duration = getattr(src, "duration", 0)
@@ -201,7 +202,8 @@ def _decode_previews(src, video_track: int, preview_count: int) -> list:
             # retry ladder (scan.c:298-313): fresh decoder, read further
             # past the corruption, tolerate per-packet decode errors
             try:
-                dec2 = create_video_decoder(ti.codec, ti.extradata)
+                dec2 = create_video_decoder(ti.codec, ti.extradata,
+                                            width=ti.width, height=ti.height)
                 state = src.seek(pts) if hasattr(src, "seek") else None
                 it = src.packets(state) if state is not None \
                     else src.packets()

@@ -24,6 +24,10 @@ _CODEC_MAP = {
     "V_VP9": "vp9",
     "V_VP8": "vp8",
     "V_THEORA": "theora",
+    "V_MPEG2": "mpeg2",
+    "V_MPEG4/ISO/ASP": "mpeg4",
+    "V_FFV1": "ffv1",
+    "V_PRORES": "prores",
     "A_AAC": "aac",
     "A_OPUS": "opus",
     "A_FLAC": "flac",

@@ -200,6 +200,11 @@ class MP4Demuxer:
                 for ct, cs, ce in _iter_boxes(moov, ps + 28, pe):
                     if ct == b"esds":
                         ti.extradata = self._parse_esds(moov[cs:ce])
+                        oti = self._esds_oti(moov[cs:ce])
+                        if oti in (0x6B, 0x69):      # MPEG-1/2 layer III
+                            ti.codec = "mp3"
+                        elif oti == 0x40:
+                            ti.codec = "aac"
                     elif ct in (b"dOps", b"dac3"):
                         ti.extradata = moov[cs:ce]
                     elif ct == b"dfLa":
@@ -208,6 +213,37 @@ class MP4Demuxer:
                 ti.codec = {"tx3g": "tx3g", "text": "text",
                             "wvtt": "webvtt"}.get(fourcc, fourcc)
             break  # first sample entry only
+
+    @staticmethod
+    def _esds_oti(esds: bytes) -> int:
+        """objectTypeIndication from the DecoderConfig descriptor
+        (0x40 = AAC, 0x6B/0x69 = MPEG layer III)."""
+        i = 4
+
+        def read_desc(i):
+            tag = esds[i]
+            i += 1
+            ln = 0
+            while True:
+                b = esds[i]
+                i += 1
+                ln = (ln << 7) | (b & 0x7F)
+                if not b & 0x80:
+                    break
+            return tag, ln, i
+
+        try:
+            while i < len(esds):
+                tag, ln, i = read_desc(i)
+                if tag == 0x03:
+                    i += 3
+                elif tag == 0x04:
+                    return esds[i]
+                else:
+                    i += ln
+        except IndexError:
+            pass
+        return 0
 
     @staticmethod
     def _parse_esds(esds: bytes) -> bytes:

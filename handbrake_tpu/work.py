@@ -80,7 +80,66 @@ def create_video_encoder(job: Job, width: int, height: int,
             width=width, height=height, qp=qp, gop=gop,
             fps=(vrate.numerator, vrate.denominator), backend=backend)
         return AV1Encoder(cfg)
+    if job.vcodec in ("mpeg2", "mpeg4", "vp9", "vp8", "ffv1", "prores",
+                      "theora"):
+        # the classic encoder catalog rides libavcodec, exactly as the
+        # reference's encavcodec.c work object does
+        from .codecs.avcodec import available
+        if not available():
+            raise WorkError(f"{job.vcodec}: libavcodec unavailable")
+        return _AVVideoEncoderAdapter(job, width, height, vrate, qp)
     raise WorkError(f"unknown video encoder {job.vcodec!r}")
+
+
+class _AVVideoEncoderAdapter:
+    """encavcodec.c work-object analog: the classic codec catalog
+    (MPEG-2/4, VP8/9, FFV1, ProRes, Theora) through codecs/avcodec.py.
+
+    Configured zero-delay (no B-frames / no lag) so one frame in is one
+    packet out — the encode stage's immediate mode."""
+
+    class _Cfg:
+        pass
+
+    def __init__(self, job, width, height, vrate, qp):
+        from .codecs.avcodec import AVVideoEncoder
+        opts = {}
+        name = job.vcodec
+        quality = None
+        bit_rate = (job.vbitrate or 0) * 1000
+        if name in ("vp9", "vp8"):
+            opts.update({"lag-in-frames": 0, "cpu-used": 4,
+                         "deadline": "good"})
+            if job.quality is not None:
+                quality = job.quality
+                bit_rate = 0
+        elif not bit_rate:
+            # quality → rough bitrate for the classic MPEG coders
+            bpp = max(0.02, 0.7 * 2.0 ** (-(qp - 10) / 6.0))
+            bit_rate = int(width * height * float(vrate) * bpp / 8) * 8
+        # mkv sources yield ns-precision rates (1e9 denominators); the
+        # MPEG coders cap the timebase denominator at 65535
+        vr = vrate.limit_denominator(30000)
+        self.enc = AVVideoEncoder(
+            name, width, height, (vr.numerator, vr.denominator),
+            bit_rate=bit_rate, quality=quality, opts=opts)
+        self.cfg = self._Cfg()
+        self.cfg.qp = qp
+        self.cfg.fps = (vrate.numerator, vrate.denominator)
+        self.cfg.gop = max(1, int(round(float(vrate) * 10)))
+        self.last_frame_was_idr = True
+        self.extradata = self.enc.extradata
+        self.frame_idx = 0
+
+    def encode_frame(self, y, u, v, qp=None) -> bytes:
+        pkts = self.enc.encode(y, u, v)
+        if not pkts:
+            raise WorkError(
+                f"{self.enc!r}: encoder delayed a frame (the catalog "
+                f"adapter requires zero-delay configuration)")
+        self.last_frame_was_idr = pkts[0][1]
+        self.frame_idx += 1
+        return b"".join(p for p, _k in pkts)
 
 
 def _device_ok() -> bool:
@@ -146,7 +205,8 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
             audio_sel.append((audio_srcs[a.track], a))
 
     # ---- decoders ----
-    vdec = create_video_decoder(vti.codec, vti.extradata)
+    vdec = create_video_decoder(vti.codec, vti.extradata,
+                                width=vti.width, height=vti.height)
     adecs = {}
     for si, spec in audio_sel:
         adecs[si] = _make_audio_decoder(src.tracks[si], spec)
@@ -552,6 +612,10 @@ class _EncodeStage(WorkObject):
             pre, post = hdr_nals(emit, codec)
             if pre or post:
                 au = pre + au + post
+        ed = getattr(self.venc, "extradata", b"")
+        if ed:
+            fb.side_data = dict(fb.side_data or {})
+            fb.side_data["codec_private"] = ed
         self.rc.update(len(au) * 8, qp, is_idr)
         self.stats["frames_out"] += 1
         self.stats["bytes_out"] += len(au)
@@ -778,6 +842,13 @@ class _PcmDecoder:
         out = Buffer(track_kind="audio").copy_props(buf)
         out.planes = [pcm]
         out.data = None
+        if not out.duration and self.ti.sample_rate:
+            # containers without per-block durations (mkv) would leave
+            # the sync gap-filler thinking the clock never advanced
+            out.duration = int(round(pcm.shape[0] * 90000
+                                     / self.ti.sample_rate))
+            out.stop = (out.pts + out.duration) \
+                if out.pts is not None else None
         return [out]
 
 
@@ -895,6 +966,51 @@ class _Ac3PacketDecoder:
         return outs
 
 
+class _AVAudioPacketDecoder:
+    """libavcodec audio decode (decavcodec.c:192-347 personality) for
+    E-AC-3/DTS/TrueHD/MP3/Vorbis/Opus — one container packet (or
+    byte-stream chunk; lavc parses syncframes internally for the
+    self-framed codecs) in, float32 PCM out."""
+
+    def __init__(self, ti, name):
+        from .codecs.avcodec import AVAudioDecoder
+        self.dec = AVAudioDecoder(name, extradata=bytes(ti.extradata or b""),
+                                  sample_rate=ti.sample_rate or 0,
+                                  channels=ti.channels or 0)
+        self.ti = ti
+        self._next_pts = None
+
+    def _wrap(self, pcm, buf):
+        if pcm.shape[0] == 0:
+            return []
+        sr = self.ti.sample_rate or 48000
+        dur = int(round(pcm.shape[0] * 90000 / sr))
+        out = Buffer(track_kind="audio")
+        if buf is not None:
+            out.copy_props(buf)
+        out.pts = self._next_pts
+        out.duration = dur
+        out.stop = (self._next_pts + dur) \
+            if self._next_pts is not None else None
+        out.planes = [np.ascontiguousarray(pcm)]
+        out.data = None
+        if self._next_pts is not None:
+            self._next_pts += dur
+        return [out]
+
+    def feed(self, buf: Buffer) -> list:
+        if buf.data is None:
+            return []
+        if buf.pts is not None and (
+                self._next_pts is None
+                or abs(buf.pts - self._next_pts) > 9000):
+            self._next_pts = buf.pts     # resync on gaps > 100 ms
+        return self._wrap(self.dec.decode(bytes(buf.data)), buf)
+
+    def flush(self) -> list:
+        return self._wrap(self.dec.flush(), None)
+
+
 class _TextCueDecoder:
     """In-stream text subtitle cues → plain text (dectx3gsub.c role for
     mp4 tx3g samples; mkv S_TEXT/UTF8 raw cues; S_TEXT/ASS block lines
@@ -1000,22 +1116,28 @@ def _make_audio_decoder(ti, spec=None):
         return _Ac3PacketDecoder(ti)
     if ti.codec in ("mp2", "mp1", "mpa"):
         return _Mp2PacketDecoder(ti)
+    if ti.codec in ("eac3", "dts", "dca", "truehd", "mlp", "mp3",
+                    "vorbis", "opus"):
+        # libavcodec personality (decavcodec.c:192-347 role — upstream
+        # decodes ALL audio through lavc; our native decoders above
+        # exceed that, the long tail goes the same way it does there)
+        try:
+            from .codecs import avcodec as av
+            if av.available():
+                name = {"dts": "dca", "mlp": "mlp"}.get(ti.codec, ti.codec)
+                return _AVAudioPacketDecoder(ti, name)
+        except Exception as e:  # noqa: BLE001
+            log(f"{ti.codec}: lavc decode unavailable ({e}) — passthrough")
     return _CopyAudioDecoder()
 
 
 def _make_audio_encoder(spec, ti):
     """Audio chain per output track (resample/mixdown/gain/drc + encoder).
 
-    AAC-LC encodes natively (audio/aac.py — HandBrake's default audio
-    codec, encavcodecaudio.c:573 role). Other lossy codecs still degrade
-    to FLAC (lossless) with a LOUD log line — never silently."""
+    AAC-LC/AC-3/FLAC encode natively (audio/*.py); MP3/Opus/Vorbis ride
+    the libavcodec catalog exactly as upstream does
+    (encavcodecaudio.c:573 routes them through lavc/LAME/libopus)."""
     from .audio.chain import AudioChain
-    import copy as _copy
-    spec = _copy.copy(spec)
-    if spec.encoder in ("opus", "vorbis", "mp3"):
-        log(f"audio encoder {spec.encoder!r} not implemented natively yet; "
-            f"encoding FLAC (lossless) instead")
-        spec.encoder = "flac"
     return AudioChain(spec, ti)
 
 
@@ -1039,8 +1161,15 @@ class _MuxAdapter:
             mux_vcodec = "hevc"
         elif job.vcodec in ("av1_tpu", "svt_av1", "av1"):
             mux_vcodec = "av1"
+        elif job.vcodec in ("mpeg2", "mpeg4", "vp9", "vp8", "ffv1",
+                            "prores", "theora"):
+            mux_vcodec = job.vcodec      # lavc catalog: raw samples
         else:
             mux_vcodec = "h264"
+        self._raw_video = mux_vcodec not in ("h264", "hevc", "av1")
+        if self._raw_video and self.kind not in ("mkv", "webm"):
+            raise WorkError(
+                f"{mux_vcodec} output requires the mkv container")
         if self.kind in ("mkv", "webm"):
             from .mux.mkv import MKVWriter
             self.w = MKVWriter(path, webm=(self.kind == "webm"))
@@ -1057,6 +1186,9 @@ class _MuxAdapter:
                     priv = FLAC_MARKER + chain.extradata(initial=True)
                 elif chain is not None and chain.out_codec() == "aac":
                     priv = chain.extradata()   # AudioSpecificConfig
+                elif chain is not None and chain.out_codec() in (
+                        "opus", "vorbis"):
+                    priv = chain.extradata()   # OpusHead / Xiph lacing
                 elif chain is not None and chain.is_passthrough():
                     priv = ti.extradata
                 self._amap[si] = self.w.add_audio_track(
@@ -1098,6 +1230,15 @@ class _MuxAdapter:
                         v = (fscod << 22) | (8 << 17) | (acmod << 11) \
                             | (lfe << 10) | (11 << 5)   # ~192 kbps
                         xd = v.to_bytes(3, "big")
+                elif chain is not None and chain.out_codec() == "opus":
+                    # dOps payload = OpusHead minus the 8-byte magic,
+                    # version byte first (RFC 7845 / ISO-BMFF Opus)
+                    oh = chain.extradata()
+                    if len(oh) >= 19 and oh[:8] == b"OpusHead":
+                        xd = b"\x00" + oh[9:]
+                elif chain is not None and chain.out_codec() in (
+                        "mp3", "vorbis"):
+                    xd = chain.extradata()
                 elif chain is not None and chain.is_passthrough():
                     xd = ti.extradata
                     if ti.codec == "aac" and not xd:
@@ -1144,12 +1285,19 @@ class _MuxAdapter:
             if "content_light" in sd and not t.cll:
                 t.cll = sd["content_light"]
         dur = fb.duration or 0
+        annexb = not getattr(self, "_raw_video", False)
+        cp = sd.get("codec_private")
+        if cp and self.kind in ("mkv", "webm") \
+                and not self.w.tracks[self.vtrack].private:
+            # catalog encoders (theora/mpeg4/...) carry their config in
+            # extradata — MKV CodecPrivate, set before the first sample
+            self.w.tracks[self.vtrack].private = cp
         if self.kind in ("mkv", "webm"):
             self.w.write_sample(self.vtrack, au, pts_90k=fb.pts or 0,
-                                duration_90k=dur, sync=idr, annexb=True)
+                                duration_90k=dur, sync=idr, annexb=annexb)
         else:
             self.w.write_sample(self.vtrack, au, duration=dur, sync=idr,
-                                annexb=True)
+                                annexb=annexb)
 
     @staticmethod
     def _strip_adts(data: bytes) -> bytes:

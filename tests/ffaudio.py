@@ -154,7 +154,9 @@ class FFAudioDecoder:
                             if i * 4 not in _frame_ch_layout_cands:
                                 _frame_ch_layout_cands.append(i * 4)
                 assert _frame_ch_layout_cands
-                _frame_ch_layout_off = _frame_ch_layout_cands[0]
+                # the deprecated channel_layout pair appears EARLIER in
+                # the struct; the real AVChannelLayout is the last hit
+                _frame_ch_layout_off = _frame_ch_layout_cands[-1]
             nch = ints[_frame_ch_layout_off // 4 + 1]
             datap = C.cast(f, C.POINTER(C.c_void_p * 8)).contents
             if fmt == AV_SAMPLE_FMT_FLTP:

@@ -238,8 +238,10 @@ def test_aac_encoder_roundtrip_psnr():
     enc = AACEncoder(sr, 2, quality=132)
     aus = enc.encode(sig) + enc.flush()
     assert len(aus) >= 47
-    adts = b"".join(enc.adts_header(len(a)) + a for a in aus)
-    out = ffaudio.FFAudioDecoder("aac").decode_packets([adts])
+    # one ADTS frame per packet: the system libavcodec decodes only the
+    # first AU of a multi-frame packet ("Multiple frames in a packet")
+    out = ffaudio.FFAudioDecoder("aac").decode_packets(
+        [enc.adts_header(len(a)) + a for a in aus])
     d = 1024                             # MDCT latency
     n = min(len(sig), out.shape[0] - d)
     a = sig[4096:n - 4096]
