@@ -324,6 +324,100 @@ class AVFallbackVideoDecoder(VideoDecoder):
         return dict(self._info)
 
 
+class ResilientHEVCDecoder(VideoDecoder):
+    """Universal HEVC input: the native decoder (codecs/hevc/decoder.py)
+    handles the subset it implements; streams beyond it (CU quadtrees,
+    SAO, B-slices, AMP — e.g. real x265 output) switch to the
+    libavcodec personality (decavcodec.c:1709 role), replaying the
+    packets buffered before the failure so no frame is lost."""
+
+    def __init__(self, extradata: bytes = b""):
+        self.extradata = bytes(extradata or b"")
+        self._buffered: list = []        # Buffers until native succeeds
+        self._native_ok = False
+        self.inner = None
+        try:
+            self.inner = HEVCVideoDecoder(self.extradata)
+        except Exception:
+            self._switch()
+
+    def _hvcc_headers(self) -> bytes:
+        hvcc = self.extradata
+        out = b""
+        if len(hvcc) < 23 or hvcc[0] != 1:
+            return out
+        i = 22
+        n_arrays = hvcc[i]
+        i += 1
+        try:
+            for _ in range(n_arrays):
+                n_nals = int.from_bytes(hvcc[i + 1:i + 3], "big")
+                i += 3
+                for _ in range(n_nals):
+                    ln = int.from_bytes(hvcc[i:i + 2], "big")
+                    i += 2
+                    out += b"\x00\x00\x00\x01" + hvcc[i:i + ln]
+                    i += ln
+        except Exception:
+            pass
+        return out
+
+    def _switch(self):
+        from ..utils.logging import log
+        log("hevc: stream beyond the native subset — switching to the "
+            "libavcodec decode personality")
+        self.inner = None
+        fb = AVFallbackVideoDecoder("hevc")
+        hdrs = self._hvcc_headers()
+        if hdrs:
+            b = Buffer(track_kind="video", data=hdrs)
+            fb.feed(b)
+        self.inner = fb
+        self._is_fallback = True
+
+    def feed(self, buf: Buffer) -> list:
+        if isinstance(self.inner, AVFallbackVideoDecoder):
+            return self.inner.feed(buf)
+        if not self._native_ok:
+            keep = Buffer(track_kind="video", data=bytes(buf.data or b""),
+                          pts=buf.pts, duration=buf.duration)
+            self._buffered.append(keep)
+        try:
+            out = self.inner.feed(buf)
+            if out:
+                self._native_ok = True
+                self._buffered.clear()
+            return out
+        except Exception:
+            self._switch()
+            out = []
+            for b in self._buffered:
+                out += self.inner.feed(b)
+            self._buffered.clear()
+            return out
+
+    def flush(self) -> list:
+        if isinstance(self.inner, AVFallbackVideoDecoder):
+            return self.inner.flush()
+        try:
+            out = self.inner.flush()
+        except Exception:
+            out = None
+        if out is None or (not self._native_ok and self._buffered):
+            # the native decoder either raised at flush or silently
+            # produced nothing for the whole stream — replay via lavc
+            self._switch()
+            replay = []
+            for b in self._buffered:
+                replay += self.inner.feed(b)
+            self._buffered.clear()
+            return replay + self.inner.flush()
+        return out
+
+    def info(self) -> dict:
+        return self.inner.info()
+
+
 def create_video_decoder(codec: str, extradata: bytes = b"",
                          width: int = 0, height: int = 0) -> VideoDecoder:
     if codec == "mjpeg":
@@ -331,6 +425,9 @@ def create_video_decoder(codec: str, extradata: bytes = b"",
     if codec == "h264":
         return H264VideoDecoder(extradata)
     if codec == "hevc":
+        from .avcodec import available
+        if available():
+            return ResilientHEVCDecoder(extradata)
         return HEVCVideoDecoder(extradata)
     if codec == "av1":
         return AV1VideoDecoder(extradata)

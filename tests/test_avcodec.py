@@ -176,3 +176,67 @@ def test_video_catalog_roundtrip(tmp_path, vcodec):
     stats2 = work.do_job(j2)
     assert not stats2.get("error"), stats2
     assert stats2["frames_out"] == N, stats2
+
+
+def test_universal_hevc_input(tmp_path):
+    """A REAL x265 stream (CU quadtrees, SAO — beyond the native HEVC
+    subset) transcodes end-to-end: ResilientHEVCDecoder switches to the
+    libavcodec personality and replays the buffered packets."""
+    import ffvideo
+    from handbrake_tpu.mux.mkv import MKVWriter
+    frames = []
+    rng = np.random.default_rng(4)
+    base = rng.integers(0, 255, (H + 32, W + 32), np.uint8)
+    for t in range(N):
+        frames.append((np.ascontiguousarray(base[t:t + H, 2 * t:2 * t + W]),
+                       np.full((H // 2, W // 2), 110, np.uint8),
+                       np.full((H // 2, W // 2), 60, np.uint8)))
+    enc = ffvideo.FFVideoEncoder(
+        "libx265", W, H, 30, bit_rate=500000,
+        opts={"x265-params": "bframes=0:keyint=4:log-level=error"})
+    pkts = enc.encode(frames)
+    assert len(pkts) == N
+    src = str(tmp_path / "x265.mkv")
+    w = MKVWriter(src)
+    vi = w.add_video_track(codec="hevc", width=W, height=H, fps=30.0)
+    for i, p in enumerate(pkts):
+        w.write_sample(vi, p, pts_90k=i * 3003, duration_90k=3003,
+                       sync=(b"\x00\x00\x00\x01\x28" in p[:6]
+                             or b"\x00\x00\x00\x01\x26" in p[:64]
+                             or i == 0), annexb=True)
+    w.finalize()
+    out = str(tmp_path / "out.mp4")
+    j = Job(path=src, file=out, mux="mp4", vcodec="h264", quality=28.0)
+    j.audio = []
+    stats = work.do_job(j)
+    assert not stats.get("error"), stats
+    assert stats["frames_out"] == N, stats
+    # quality sanity: decoded output ~matches the x265 source frames
+    import ffdec
+    from handbrake_tpu.sources.probe import open_source
+    s = open_source(out)
+    vt = [t for t in s.tracks if t.kind == "video"][0]
+    ed = vt.extradata
+    nsps = ed[5] & 0x1F
+    off = 6
+    stream = b""
+    for _ in range(nsps):
+        ln = int.from_bytes(ed[off:off + 2], "big")
+        off += 2
+        stream += b"\x00\x00\x00\x01" + ed[off:off + ln]
+        off += ln
+    npps = ed[off]
+    off += 1
+    for _ in range(npps):
+        ln = int.from_bytes(ed[off:off + 2], "big")
+        off += 2
+        stream += b"\x00\x00\x00\x01" + ed[off:off + ln]
+        off += ln
+    for i in range(s.n_samples(0)):
+        stream += bytes(s.read_sample(0, i).data)
+    dec = ffdec.decode_yuv(stream, "h264")
+    assert len(dec) == N
+    p0 = 10 * np.log10(255.0 ** 2 / max(
+        1e-9, np.mean((dec[2][0][:H, :W].astype(np.float64)
+                       - frames[2][0]) ** 2)))
+    assert p0 > 26, p0
