@@ -417,6 +417,11 @@ class ResilientHEVCDecoder(VideoDecoder):
     def info(self) -> dict:
         return self.inner.info()
 
+    @property
+    def dec(self):
+        """Native inner decoder (tests/tools reach for .sps etc.)."""
+        return getattr(self.inner, "dec", None)
+
 
 def create_video_decoder(codec: str, extradata: bytes = b"",
                          width: int = 0, height: int = 0) -> VideoDecoder:
