@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gop-parallel", type=int, default=0,
                    help="shard the encode into N keyframe-aligned GOP "
                         "chunks over the device mesh (h264)")
+    p.add_argument("--bframes", type=int, default=0,
+                   help="B-frames between anchors (h264; IB..BP GOP "
+                        "via the host walker, x264 bframes role)")
     # picture
     p.add_argument("-w", "--width", type=int)
     p.add_argument("-l", "--height", type=int)
@@ -180,6 +183,8 @@ def apply_cli_overrides(job: Job, args) -> Job:
         job.encoder_level = args.encoder_level
     if args.gop_parallel:
         job.gop_parallel = args.gop_parallel
+    if args.bframes:
+        job.bframes = args.bframes
     if args.markers:
         job.chapter_markers = True
 

@@ -140,6 +140,10 @@ class Job:
     quality: Optional[float] = 22.0   # CRF/CQ; None → bitrate mode
     vbitrate: Optional[int] = None
     multipass: bool = False
+    # B-frames between anchors (encx264.c bframes role). 0 = I/P only
+    # (the device CABAC path); >0 routes H.264 through the host
+    # B-pyramid walker (codecs/h264/encoder_b.py, CAVLC).
+    bframes: int = 0
     turbo_first_pass: bool = False
     encoder_preset: str = "medium"
     encoder_tune: str = ""

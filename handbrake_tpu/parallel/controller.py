@@ -89,6 +89,9 @@ class WorkerServer:
         fd, seg_path = tempfile.mkstemp(suffix=".mp4")
         os.close(fd)
         job.file = seg_path
+        job.mux = "mp4"              # segments always travel as mp4;
+                                     # rank 0 remuxes into the final
+                                     # destination container
 
         n_range = b - a + 1
 
@@ -204,34 +207,85 @@ class Controller:
     @staticmethod
     def _mux_segments(segments, dest):
         """Gather-to-rank-0 mux: demux each host's segment and rewrite
-        one continuous container (muxcommon interleave preserved —
-        samples appended in host order with rebased timestamps)."""
-        from ..mux.mp4 import MP4Writer
+        one continuous container (muxcommon interleave preserved), now
+        carrying EVERY track — video, audio, subtitles — with rebased
+        timestamps, into an mp4 or mkv destination by extension."""
         from ..sources.mp4 import MP4Demuxer
-        w = None
-        vtrack = None
-        t_off = 0
+        mkv_out = str(dest).lower().endswith((".mkv", ".webm"))
+        if mkv_out:
+            from ..mux.mkv import MKVWriter
+            w = MKVWriter(dest)
+        else:
+            from ..mux.mp4 import MP4Writer
+            w = MP4Writer(dest)
+        tmap = {}                    # segment track idx → writer idx
+        t_off = 0                    # 90 kHz rebase per segment
+        pts_track = {}               # writer idx → running pts (mkv)
         for si, seg in enumerate(segments):
             fd, p = tempfile.mkstemp(suffix=".mp4")
             os.close(fd)
             with open(p, "wb") as f:
                 f.write(seg)
             d = MP4Demuxer(p)
-            ti = d.tracks[0]
-            if w is None:
-                w = MP4Writer(dest)
-                vtrack = w.add_video_track(
-                    codec=ti.codec, width=ti.width, height=ti.height,
-                    extradata=ti.extradata)
+            if not tmap:
+                for k, ti in enumerate(d.tracks):
+                    if ti.kind == "video":
+                        if mkv_out:
+                            tmap[k] = w.add_video_track(
+                                codec=ti.codec, width=ti.width,
+                                height=ti.height, private=b"")
+                        else:
+                            tmap[k] = w.add_video_track(
+                                codec=ti.codec, width=ti.width,
+                                height=ti.height, extradata=ti.extradata)
+                    elif ti.kind == "audio":
+                        if mkv_out:
+                            tmap[k] = w.add_audio_track(
+                                codec=ti.codec,
+                                sample_rate=ti.sample_rate,
+                                channels=ti.channels,
+                                private=ti.extradata,
+                                language=ti.language)
+                        else:
+                            tmap[k] = w.add_audio_track(
+                                codec=ti.codec,
+                                sample_rate=ti.sample_rate,
+                                channels=ti.channels,
+                                extradata=ti.extradata,
+                                language=ti.language)
+                    else:
+                        tmap[k] = w.add_subtitle_track(
+                            codec=ti.codec, language=ti.language)
             seg_dur = 0
-            for k in range(d.n_samples(0)):
-                b = d.read_sample(0, k)
-                dur = b.duration or 3003
-                w.write_sample(vtrack, b.data, duration=int(dur),
-                               sync=bool(b.frametype), annexb=True)
-                seg_dur += int(dur)
+            for trk, b in d.packets():
+                if trk not in tmap:
+                    continue
+                ti = d.tracks[trk]
+                dur = int(b.duration or (3003 if ti.kind == "video"
+                                         else 0))
+                data = bytes(b.data)
+                if mkv_out:
+                    pts = t_off + (b.pts or 0)
+                    w.write_sample(tmap[trk], data, pts_90k=pts,
+                                   duration_90k=dur,
+                                   sync=bool(b.frametype)
+                                   or ti.kind != "video",
+                                   annexb=(ti.kind == "video"
+                                           and ti.codec in ("h264",
+                                                            "hevc")))
+                else:
+                    tscale = w.tracks[tmap[trk]].timescale
+                    w.write_sample(tmap[trk], data,
+                                   duration=int(dur * tscale // 90000)
+                                   if ti.kind == "audio" else dur,
+                                   sync=bool(b.frametype)
+                                   or ti.kind != "video",
+                                   annexb=(ti.kind == "video"
+                                           and ti.codec in ("h264",
+                                                            "hevc")))
+                if ti.kind == "video":
+                    seg_dur += dur
             t_off += seg_dur
             d.close()
             os.unlink(p)
-        if w is not None:
-            w.finalize()
+        w.finalize()

@@ -193,13 +193,13 @@ def encode_gop_parallel_2pass(frames, width: int, height: int,
                 seq.append(lo)
         return seq
 
-    streams = full = None
+    streams = full = frame_aus = None
     corr = 0.0
     for _attempt in range(3):
         qps = [dither(qfs[g] + corr, ln)
                for g, (_, ln) in enumerate(chunks)]
-        streams, full, _ = encode_gop_parallel(frames, width, height, qps,
-                                            mesh, fps)
+        streams, full, frame_aus = encode_gop_parallel(
+            frames, width, height, qps, mesh, fps)
         actual_kbps = len(full) * 8.0 / duration_s / 1000.0
         if abs(actual_kbps - target_kbps) <= 0.04 * target_kbps:
             break
@@ -209,4 +209,5 @@ def encode_gop_parallel_2pass(frames, width: int, height: int,
                            "actual_kbps": actual_kbps,
                            "budgets": budgets.tolist(),
                            "pass1_bits": complexity.tolist(),
-                           "qps": [q[0] for q in qps]}
+                           "qps": [q[0] for q in qps],
+                           "frame_aus": frame_aus}

@@ -25,6 +25,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import numpy as np
+
 from ..core.buffer import Buffer, BufFlags, CLOCK
 
 # jitter tolerance: reference uses 100ms-scale slack for audio gaps
@@ -262,6 +264,19 @@ class SyncCore:
                 if all(s.eof and not s.queue for s in self.streams):
                     self.done = True
                 continue
+            if (self.pts_stop is not None and buf.stop is not None
+                    and buf.stop > self.pts_stop
+                    and best.kind == "audio"):
+                # trim the straddling audio buffer at the range stop so
+                # the tail doesn't drag the video timeline past it
+                # (sync.c stop-condition truncation)
+                new_dur = self.pts_stop - buf.pts
+                if buf.planes is not None and best.sample_rate:
+                    n = max(0, int(round(new_dur * best.sample_rate
+                                         / CLOCK)))
+                    buf.planes = [np.asarray(buf.planes[0])[:n]]
+                buf.duration = new_dur
+                buf.stop = self.pts_stop
             out.extend(self._repair(best, buf))
         if all(s.eof and not s.queue for s in self.streams):
             self.done = True

@@ -47,6 +47,19 @@ def create_video_encoder(job: Job, width: int, height: int,
     qp = quality_to_qp(job.quality if job.quality is not None else 26)
     gop = max(1, int(round(float(vrate) * 10)))  # 10 s keyint, x264 dflt
     backend = "device" if _device_ok() else "host"
+    if job.vcodec in ("h264_tpu", "x264", "h264") \
+            and int(getattr(job, "bframes", 0) or 0) > 0:
+        # IB..BP GOP structure via the host B walker (encoder_b.py —
+        # x264-medium's bframes=3/ref=3 shape; CAVLC until the native
+        # CABAC stage grows B-slice syntax)
+        from .codecs.h264.encoder import EncoderConfig
+        from .codecs.h264.encoder_b import H264BEncoder
+        cfg = EncoderConfig(
+            width=width, height=height, qp=qp, gop=gop,
+            fps=(vrate.numerator, vrate.denominator), backend="host")
+        return _BFrameEncoderAdapter(
+            H264BEncoder(cfg, bframes=int(job.bframes),
+                         refs=min(3, int(job.bframes) + 1)))
     if job.vcodec in ("h264_tpu", "x264", "h264"):
         from .codecs.h264.encoder import EncoderConfig, H264Encoder
         # Entropy coder selection (encx264.c profile plumbing): main/high
@@ -142,6 +155,25 @@ class _AVVideoEncoderAdapter:
         return b"".join(p for p, _k in pkts)
 
 
+class _BFrameEncoderAdapter:
+    """Wraps H264BEncoder for the encode stage: display frames in,
+    (display_idx, access_unit) pairs out in DECODE order — the caller
+    owns the DTS delay queue (encx264.c:30 role)."""
+
+    def __init__(self, benc):
+        self.benc = benc
+        self.cfg = benc.cfg
+        self.frame_idx = 0
+        self.last_frame_was_idr = True
+
+    def push_display_frame(self, y, u, v):
+        self.frame_idx += 1
+        return self.benc.push_frame(y, u, v)
+
+    def flush(self):
+        return self.benc.flush()
+
+
 def _device_ok() -> bool:
     """Use the JAX device path when available (single real chip or cpu)."""
     return os.environ.get("HB_TPU_DISABLE_DEVICE", "0") != "1"
@@ -160,7 +192,9 @@ def resolve_range(job: Job, src, vrate: Fraction) -> tuple:
     if r.type == "frame":
         tick = CLOCK * vrate.denominator / vrate.numerator
         start = int((r.start - 1) * tick) if r.start > 1 else None
-        stop = int(r.end * tick) if r.end else None
+        # half-frame tolerance: containers with ms timestamp precision
+        # (mkv) place frame pts slightly under the exact boundary
+        stop = int(r.end * tick - tick / 2) if r.end else None
         return start, stop
     if r.type == "chapter":
         chapters = getattr(src, "chapters", [])
@@ -388,7 +422,9 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
         log("gop-parallel: only the h264 encoder is sharded — ignoring")
         gshards = 0
     encst = _EncodeStage(graph, venc, aencs, rc, stats, progress,
-                         sub_specs, (out_w, out_h), gop_parallel=gshards)
+                         sub_specs, (out_w, out_h), gop_parallel=gshards,
+                         multipass=bool(job.multipass),
+                         target_kbps=float(job.vbitrate or 0))
     encst.fifo_in, encst.fifo_out = fifo_sync, fifo_enc
     muxst = _MuxStage(mux, aencs)
     muxst.fifo_in = fifo_enc
@@ -567,7 +603,8 @@ class _EncodeStage(WorkObject):
     name = "filter+encode"
 
     def __init__(self, graph, venc, aencs, rc, stats, progress, sub_specs,
-                 out_wh, gop_parallel=0):
+                 out_wh, gop_parallel=0, multipass=False,
+                 target_kbps=0.0):
         super().__init__()
         self.graph = graph
         self.venc = venc
@@ -580,6 +617,8 @@ class _EncodeStage(WorkObject):
         self._pend = []   # (pending, fb, qp, is_idr)
         self.gop_parallel = int(gop_parallel or 0)
         self._gp_frames = []   # buffered (planes, fb) in gop-parallel mode
+        self.multipass = bool(multipass)
+        self.target_kbps = float(target_kbps or 0.0)
 
     # -- video ---------------------------------------------------------------
     def _planes(self, fb):
@@ -631,9 +670,16 @@ class _EncodeStage(WorkObject):
         y, u, v = self._planes(fb)
         if self.gop_parallel > 1:
             # GOP-parallel mode (parallel/gop.py, SURVEY §2.8.3): buffer
-            # display frames; the sharded encode runs at EOF
+            # one WINDOW of keyframe-aligned chunks, then run the sharded
+            # encode — bounded memory, not buffer-the-whole-title
             self._gp_frames.append(((y, u, v), fb))
+            window = self.gop_parallel * max(1, min(self.venc.cfg.gop,
+                                                    120))
+            if len(self._gp_frames) >= window:
+                return self._gp_flush()
             return []
+        if isinstance(self.venc, _BFrameEncoderAdapter):
+            return self._encode_b(fb, y, u, v)
         is_idr = (self.venc.frame_idx % self.venc.cfg.gop) == 0
         out = []
         if is_idr:
@@ -662,12 +708,47 @@ class _EncodeStage(WorkObject):
         au = self.venc.finish_frame(p)
         return self._emit_video(au, fb, is_idr, qp)
 
+    def _encode_b(self, fb, y, u, v):
+        """B-pyramid path: display frames buffer inside the walker; AUs
+        come out in decode order tagged with their display index, each
+        emitted against ITS display frame's timestamps (the muxer
+        derives cts offsets from pts vs the decode-order clock)."""
+        if not hasattr(self, "_b_fbs"):
+            self._b_fbs = {}
+            self._b_disp = 0
+        self._b_fbs[self._b_disp] = fb
+        self._b_disp += 1
+        out = []
+        for d, au in self.venc.push_display_frame(y, u, v):
+            dfb = self._b_fbs.pop(d)
+            out.append(self._emit_video(au, dfb,
+                                        d % self.venc.cfg.gop == 0,
+                                        self.venc.cfg.qp))
+        return out
+
+    def _drain_b(self):
+        out = []
+        if isinstance(self.venc, _BFrameEncoderAdapter):
+            for d, au in self.venc.flush():
+                dfb = self._b_fbs.pop(d)
+                out.append(self._emit_video(au, dfb,
+                                            d % self.venc.cfg.gop == 0,
+                                            self.venc.cfg.qp))
+        return out
+
     def _gp_flush(self):
-        """Run the sharded GOP-parallel encode over the buffered frames
+        """Run the sharded GOP-parallel encode over the buffered window
         (keyframe-aligned chunks over a jax.sharding mesh, one shard per
-        device) and emit per-frame AU buffers in display order."""
+        device) and emit per-frame AU buffers in display order.
+
+        Rate control: single-pass windows take the controller's current
+        qp (so ABR/CRF adapts window to window); MultiPass + Bitrate
+        jobs run the sharded two-pass allocator per window
+        (encode_gop_parallel_2pass — the hb_interjob_t stats handoff
+        expressed as a psum across the mesh)."""
         import jax
-        from .parallel.gop import encode_gop_parallel, split_gops
+        from .parallel.gop import (encode_gop_parallel,
+                                   encode_gop_parallel_2pass)
         from jax.sharding import Mesh
         if not self._gp_frames:
             return []
@@ -678,11 +759,20 @@ class _EncodeStage(WorkObject):
         G = max(1, min(self.gop_parallel, len(devs), len(frames)))
         mesh = Mesh(np.array(devs[:G]), ("gop",))
         w, h = self.out_wh
-        qp = self.venc.cfg.qp
+        qp = int(self.rc.frame_qp(True))
         log(f"gop-parallel: {len(frames)} frames over {G} shards "
             f"({len(devs)} devices)")
-        _, _, frame_aus = encode_gop_parallel(frames, w, h, qp, mesh,
-                                              fps=self.venc.cfg.fps)
+        if self.multipass and self.target_kbps > 0:
+            _, _, stats2 = encode_gop_parallel_2pass(
+                frames, w, h, self.target_kbps, mesh,
+                fps=self.venc.cfg.fps, qp1=min(51, qp + 6))
+            frame_aus = stats2["frame_aus"] if "frame_aus" in stats2 \
+                else stats2.get("aus")
+            if frame_aus is None:
+                raise WorkError("2-pass gop-parallel returned no AUs")
+        else:
+            _, _, frame_aus = encode_gop_parallel(frames, w, h, qp, mesh,
+                                                  fps=self.venc.cfg.fps)
         out = []
         i = 0
         for g, aus in enumerate(frame_aus):
@@ -698,6 +788,7 @@ class _EncodeStage(WorkObject):
             for fb in self.graph.flush():
                 out += self._encode(fb)
             out += self._gp_flush()
+            out += self._drain_b()
             while self._pend:
                 out.append(self._finish_one())
             for sid, enc in self.aencs.items():
@@ -1296,8 +1387,13 @@ class _MuxAdapter:
             self.w.write_sample(self.vtrack, au, pts_90k=fb.pts or 0,
                                 duration_90k=dur, sync=idr, annexb=annexb)
         else:
+            # decode-order samples: cts offset = display pts vs the
+            # decode-order clock (non-zero only for B reorder; ctts v1)
+            vdts = getattr(self, "_vdts", 0)
+            cts = (fb.pts - vdts) if fb.pts is not None else 0
+            self._vdts = vdts + dur
             self.w.write_sample(self.vtrack, au, duration=dur, sync=idr,
-                                annexb=annexb)
+                                cts_offset=cts, annexb=annexb)
 
     @staticmethod
     def _strip_adts(data: bytes) -> bytes:

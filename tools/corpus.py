@@ -78,10 +78,12 @@ def _canvas(w, h, seed=11):
             pw = min(tw, bw - xo)
             canvas[yo:yo + ph, xo:xo + pw] = pal[:ph, :pw]
     # photo tiles at random positions/orientations (real texture islands)
-    ph, pw = photo.shape[:2]
+    ph = min(photo.shape[0], bh)
+    pw = min(photo.shape[1], bw)
+    photo = photo[:ph, :pw]
     for k in range(10):
-        yo = int(rng.integers(0, bh - ph))
-        xo = int(rng.integers(0, bw - pw))
+        yo = int(rng.integers(0, max(1, bh - ph)))
+        xo = int(rng.integers(0, max(1, bw - pw)))
         tile = photo[:, ::-1] if k % 2 else photo
         if k % 3 == 2:
             tile = tile[::-1]
@@ -101,6 +103,7 @@ def make_clip(w=1280, h=720, n=120, fps=30.0, seed=11):
     canvas = _canvas(w, h, seed)
     photo = _load_photo()
     fg = photo[140:340, 150:350]               # face crop as the mover
+    fg = fg[:min(200, h // 2), :min(200, w // 2)]   # fit small frames
     fgh, fgw = fg.shape[:2]
     frames = []
     for t in range(n):

@@ -72,6 +72,19 @@ def run_h264_host_i4(frames, w, h, qp, fps):
     return stream, dec
 
 
+def run_h264_p_host(frames, w, h, qp, fps):
+    """Host walker, P-only CAVLC, no deblock/8x8 — the TOOLSET-MATCHED
+    baseline for h264_b (same walker, B structure being the only
+    difference), so the B rows measure B-frames, not entropy coding."""
+    from handbrake_tpu.codecs.h264.encoder import EncoderConfig, H264Encoder
+    from handbrake_tpu.codecs.h264.native_decoder import NativeH264Decoder
+    enc = H264Encoder(EncoderConfig(width=w, height=h, qp=qp,
+                                    gop=len(frames), backend="host"))
+    stream = b"".join(enc.encode_frame(*f) for f in frames)
+    dec = NativeH264Decoder().decode(stream)
+    return stream, dec
+
+
 def run_h264_b(frames, w, h, qp, fps):
     """IBBP GOP with 2 refs (encoder_b.py) — the bitrate-saving GOP
     structure; decode via the universal native decoder (handles the
@@ -110,7 +123,8 @@ def run_av1(frames, w, h, qp, fps):
 
 
 RUNNERS = {"h264": run_h264, "h264_host_i4": run_h264_host_i4,
-           "h264_b": run_h264_b, "hevc": run_hevc, "av1": run_av1}
+           "h264_p_host": run_h264_p_host, "h264_b": run_h264_b,
+           "hevc": run_hevc, "av1": run_av1}
 
 
 def measure_anchors(frames, w, h, fps=30.0, full=True):
