@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bframes", type=int, default=0,
                    help="B-frames between anchors (h264; IB..BP GOP "
                         "via the host walker, x264 bframes role)")
+    p.add_argument("--checkpoint", action="store_true",
+                   help="journal muxed samples + RC state to "
+                        "<dest>.ckpt at every GOP boundary")
+    p.add_argument("--resume", action="store_true",
+                   help="resume a killed encode from <dest>.ckpt "
+                        "(implies --checkpoint)")
     # picture
     p.add_argument("-w", "--width", type=int)
     p.add_argument("-l", "--height", type=int)
@@ -185,6 +191,10 @@ def apply_cli_overrides(job: Job, args) -> Job:
         job.gop_parallel = args.gop_parallel
     if args.bframes:
         job.bframes = args.bframes
+    if args.checkpoint or args.resume:
+        job.checkpoint = True
+    if args.resume:
+        job.resume = True
     if args.markers:
         job.chapter_markers = True
 

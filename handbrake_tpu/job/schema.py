@@ -144,6 +144,13 @@ class Job:
     # (the device CABAC path); >0 routes H.264 through the host
     # B-pyramid walker (codecs/h264/encoder_b.py, CAVLC).
     bframes: int = 0
+    # GOP-boundary checkpointing (SURVEY §5 — our improvement over the
+    # reference, which cannot resume a killed encode): checkpoint=True
+    # journals muxed samples + RC state to <dest>.ckpt at every IDR;
+    # resume=True replays a journal and restarts at the last complete
+    # GOP.  Byte-identical tails need stateless-across-GOP filters.
+    checkpoint: bool = False
+    resume: bool = False
     turbo_first_pass: bool = False
     encoder_preset: str = "medium"
     encoder_tune: str = ""

@@ -46,6 +46,10 @@ def create_video_encoder(job: Job, width: int, height: int,
                          vrate: Fraction, interjob: Optional[dict] = None):
     qp = quality_to_qp(job.quality if job.quality is not None else 26)
     gop = max(1, int(round(float(vrate) * 10)))  # 10 s keyint, x264 dflt
+    opts0 = dict(kv.split("=", 1) for kv in
+                 (job.encoder_options or "").split(":") if "=" in kv)
+    if "keyint" in opts0:
+        gop = max(1, int(opts0["keyint"]))
     backend = "device" if _device_ok() else "host"
     if job.vcodec in ("h264_tpu", "x264", "h264") \
             and int(getattr(job, "bframes", 0) or 0) > 0:
@@ -153,6 +157,88 @@ class _AVVideoEncoderAdapter:
         self.last_frame_was_idr = pkts[0][1]
         self.frame_idx += 1
         return b"".join(p for p, _k in pkts)
+
+
+class _CkptJournal:
+    """GOP-boundary checkpoint journal (<dest>.ckpt): length-framed
+    pickle records of every muxed sample, committed with an fsynced
+    ("gop", frames_done, rc_state) marker at each IDR.  A kill at any
+    point leaves a prefix of complete GOPs; resume replays them and
+    restarts the pipeline at the boundary (SURVEY §5 — the reference
+    has no mid-encode checkpointing at all)."""
+
+    def __init__(self, path, rc, append=False, frames0=0):
+        import io
+        self.path = path
+        self.rc = rc
+        self.frames = frames0
+        self.f = open(path, "ab" if append else "wb")
+
+    def _write(self, rec):
+        import pickle
+        blob = pickle.dumps(rec, protocol=4)
+        self.f.write(len(blob).to_bytes(4, "big") + blob)
+
+    def video(self, au, pts, dur, idr, side_data):
+        if idr and self.frames > 0:
+            self.commit()
+        self._write(("v", au, pts, dur, idr,
+                     {k: v for k, v in (side_data or {}).items()
+                      if isinstance(v, (bytes, int, float, str))}))
+        self.frames += 1
+
+    def audio(self, sid, data, pts, dur, stop):
+        self._write(("a", sid, data, pts, dur, stop))
+
+    def subtitle(self, k, data, pts, dur, stop):
+        self._write(("s", k, data, pts, dur, stop))
+
+    def commit(self):
+        rc_state = {k: v for k, v in self.rc.__dict__.items()
+                    if isinstance(v, (int, float, bool, list, tuple))}
+        self._write(("gop", self.frames, rc_state))
+        self.f.flush()
+        os.fsync(self.f.fileno())
+
+    def close(self, complete=False):
+        if complete:
+            self.commit()
+        self.f.close()
+        if complete and os.path.exists(self.path):
+            os.unlink(self.path)     # job finished: journal obsolete
+
+    @staticmethod
+    def load(path):
+        """→ (records up to last complete gop, frames_done, rc_state)."""
+        import pickle
+        recs = []
+        out = []
+        n_done = 0
+        rc_state = None
+        gops_done = 0
+        with open(path, "rb") as f:
+            data = f.read()
+        i = 0
+        while i + 4 <= len(data):
+            ln = int.from_bytes(data[i:i + 4], "big")
+            i += 4
+            if i + ln > len(data):
+                break
+            try:
+                rec = pickle.loads(data[i:i + ln])
+            except Exception:
+                break
+            i += ln
+            if rec[0] == "gop":
+                out.extend(recs)
+                recs = []
+                n_done = rec[1]
+                gops_done += 1
+                rc_state = dict(rec[2])
+                rc_state["_gops_done"] = gops_done
+            else:
+                recs.append(rec)
+        return out, n_done, rc_state
 
 
 class _BFrameEncoderAdapter:
@@ -381,12 +467,50 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
     for si, spec in audio_sel:
         aencs[si] = _make_audio_encoder(spec, src.tracks[si])
 
+    # ---- checkpoint/resume (SURVEY §5, our improvement): resume loads
+    # the journal, restores RC state and restarts the pipeline at the
+    # last complete GOP boundary (frame range) ----
+    ckpt = None
+    replay = []
+    n_done = 0
+    want_ckpt = bool(getattr(job, "checkpoint", False)
+                     or getattr(job, "resume", False))
+    if want_ckpt and job.pass_id != 1:
+        ckpt_path = (job.file or "out") + ".ckpt"
+        if getattr(job, "resume", False) and os.path.exists(ckpt_path):
+            replay, n_done, rc_state = _CkptJournal.load(ckpt_path)
+            if n_done > 0:
+                if rc_state is not None:
+                    gops_done = rc_state.pop("_gops_done", 0)
+                    rc.__dict__.update(rc_state)
+                    # syntax continuity for byte-identical tails: the
+                    # resumed encoder's idr_pic_id keeps counting
+                    if hasattr(venc, "idr_pic_id"):
+                        venc.idr_pic_id = gops_done % 16
+                job.range.type = "frame"
+                job.range.start = n_done + 1
+                job.range.end = 0
+                pts_start, pts_stop = resolve_range(job, src, vrate)
+                sync.pts_start = pts_start
+                sync.pts_stop = pts_stop
+                sync.common_start = None
+                log(f"resume: {n_done} frames from checkpoint, "
+                    f"continuing at frame {n_done + 1}")
+            else:
+                replay = []
+        ckpt = _CkptJournal(ckpt_path, rc, append=bool(replay),
+                            frames0=n_done)
+
     # ---- muxer (analysis pass writes nowhere — x264 pass-1 analog) ----
     if job.pass_id == 1:
         mux = _NullMux()
     else:
         mux = _MuxAdapter(job, out_fi, audio_sel, src, aencs,
                           sub_specs=sub_specs)
+        if ckpt is not None:
+            mux.journal = ckpt
+            for rec in replay:
+                mux.replay(rec)
 
     # ---- threaded stage graph (work.c:2242-2280: one thread per work
     # object, bounded FIFOs between; reader → decode+sync → filters+encode
@@ -1367,7 +1491,11 @@ class _MuxAdapter:
         if hasattr(self.w, "metadata"):
             self.w.metadata = self.metadata
 
-    def write_video(self, au: bytes, fb: Buffer, idr: bool):
+    def write_video(self, au: bytes, fb: Buffer, idr: bool,
+                    _journal=True):
+        if _journal and getattr(self, "journal", None) is not None:
+            self.journal.video(bytes(au), fb.pts, fb.duration, idr,
+                               fb.side_data)
         sd = fb.side_data or {}
         if sd and self.kind not in ("mkv", "webm"):
             t = self.w.tracks[self.vtrack]
@@ -1413,10 +1541,33 @@ class _MuxAdapter:
             i += ln
         return bytes(out) if i and i == n else data
 
-    def write_audio(self, sid: int, pkt: Buffer):
+    def replay(self, rec):
+        """Re-apply one checkpoint-journal record (resume path)."""
+        if rec[0] == "v":
+            _tag, au, pts, dur, idr, sd = rec
+            fb = Buffer(track_kind="video", pts=pts, duration=dur)
+            fb.side_data = dict(sd)
+            self.write_video(au, fb, idr, _journal=False)
+        elif rec[0] == "a":
+            _tag, sid, data, pts, dur, stop = rec
+            b = Buffer(track_kind="audio", pts=pts, duration=dur)
+            b.data = data
+            b.stop = stop
+            self.write_audio(sid, b, _journal=False)
+        elif rec[0] == "s":
+            _tag, k, data, pts, dur, stop = rec
+            b = Buffer(track_kind="subtitle", pts=pts, duration=dur)
+            b.data = data
+            b.stop = stop
+            self.write_subtitle(k, b, _journal=False)
+
+    def write_audio(self, sid: int, pkt: Buffer, _journal=True):
         tr = self._amap.get(sid)
         if tr is None or pkt.data is None:
             return
+        if _journal and getattr(self, "journal", None) is not None:
+            self.journal.audio(sid, bytes(pkt.data), pkt.pts,
+                               pkt.duration, pkt.stop)
         data = pkt.data
         tcodec = self.w.tracks[tr]
         if getattr(tcodec, "codec", getattr(tcodec, "codec_id", "")) \
@@ -1430,10 +1581,13 @@ class _MuxAdapter:
             dur = (pkt.duration or 0) * t.timescale // CLOCK
             self.w.write_sample(tr, data, duration=dur)
 
-    def write_subtitle(self, k: int, buf: Buffer):
+    def write_subtitle(self, k: int, buf: Buffer, _journal=True):
         tr = self._smap.get(k)
         if tr is None or buf.data is None:
             return
+        if _journal and getattr(self, "journal", None) is not None:
+            self.journal.subtitle(k, bytes(buf.data), buf.pts,
+                                  buf.duration, buf.stop)
         text = buf.data
         pts = buf.pts or 0
         dur = buf.duration or 0
@@ -1459,3 +1613,5 @@ class _MuxAdapter:
                     if xd:
                         self.w.tracks[tr].extradata = xd
         self.w.finalize()
+        if getattr(self, "journal", None) is not None:
+            self.journal.close(complete=True)

@@ -646,3 +646,80 @@ def test_bframes_job_end_to_end(tmp_path, y4m_src):
     d14 = np.mean(np.abs(dec[1][0].astype(int) - ys[min(4, len(ys) - 1)]
                          .astype(int)))
     assert d11 < d14, (d11, d14)
+
+
+def test_checkpoint_resume_gop_boundary(tmp_path, y4m_src):
+    """GOP-boundary checkpoint/resume (SURVEY §5, VERDICT r4 #10): a job
+    killed mid-encode resumes from <dest>.ckpt at the last complete GOP
+    and the video sample sequence matches the uninterrupted run."""
+    import os as _os
+    from handbrake_tpu.sources.mp4 import MP4Demuxer
+
+    # reference: uninterrupted run (gop = 4 frames via encoder options)
+    ref = str(tmp_path / "ref.mp4")
+    j = Job(path=y4m_src, file=ref, mux="mp4", vcodec="h264",
+            quality=30.0, encoder_options="keyint=4")
+    work.do_job(j)
+
+    # checkpointed run — complete, then simulate a kill by truncating
+    # the journal to its prefix and deleting the output
+    out = str(tmp_path / "ck.mp4")
+    j2 = Job(path=y4m_src, file=out, mux="mp4", vcodec="h264",
+             quality=30.0, encoder_options="keyint=4")
+    j2.checkpoint = True
+    work.do_job(j2)
+    assert not _os.path.exists(out + ".ckpt")   # complete → removed
+
+    # run again, capture the journal mid-way this time: monkey-free
+    # approach — rerun with checkpoint and STOP the journal cleanup by
+    # killing after first GOP via a small gop: instead, rebuild a
+    # truncated journal from a fresh run by interrupting finalize
+    from handbrake_tpu import work as workmod
+    j3 = Job(path=y4m_src, file=out, mux="mp4", vcodec="h264",
+             quality=30.0, encoder_options="keyint=4")
+    j3.checkpoint = True
+    orig_close = workmod._CkptJournal.close
+
+    def no_cleanup(self, complete=False):
+        self.f.flush()
+        self.f.close()          # keep the journal file (simulated kill)
+    workmod._CkptJournal.close = no_cleanup
+    try:
+        work.do_job(j3)
+    finally:
+        workmod._CkptJournal.close = orig_close
+    assert _os.path.exists(out + ".ckpt")
+    # truncate to the FIRST complete GOP (find the first 'gop' marker)
+    import pickle
+    data = open(out + ".ckpt", "rb").read()
+    i = 0
+    cut = None
+    while i + 4 <= len(data):
+        ln = int.from_bytes(data[i:i + 4], "big")
+        rec = pickle.loads(data[i + 4:i + 4 + ln])
+        i += 4 + ln
+        if rec[0] == "gop":
+            cut = i
+            break
+    assert cut is not None
+    with open(out + ".ckpt", "wb") as f:
+        f.write(data[:cut])
+    _os.unlink(out)
+
+    # resume: replays the first GOP, encodes the rest
+    j4 = Job(path=y4m_src, file=out, mux="mp4", vcodec="h264",
+             quality=30.0, encoder_options="keyint=4")
+    j4.resume = True
+    stats = work.do_job(j4)
+    assert not stats.get("error"), stats
+
+    dref = MP4Demuxer(ref)
+    dout = MP4Demuxer(out)
+    assert dout.n_samples(0) == dref.n_samples(0)
+    same = sum(1 for k in range(dref.n_samples(0))
+               if bytes(dref.read_sample(0, k).data)
+               == bytes(dout.read_sample(0, k).data))
+    # every sample byte-identical (stateless filters, fixed qp)
+    assert same == dref.n_samples(0), (same, dref.n_samples(0))
+    dref.close()
+    dout.close()
