@@ -17,13 +17,16 @@ different days), so e2e varies run to run. The breakdown fields and
 device_only_fps (pure on-chip throughput, no host round trips) separate
 engine speed from tunnel weather.
 
-Measured platform quirk (r5): after the FIRST device->host transfer of
-a session the axon runtime drops into a synchronous dispatch mode
-costing ~32 ms per device call regardless of compute; the analyzer
-itself runs 1080p analysis+deblock in ~0.2 ms/frame (measured pre-
-poisoning).  cfg.dispatch_batch=8 amortizes the fixed dispatch cost by
-scanning 8 frames per call (byte-identical streams, asserted in
-tests).
+Measured platform quirk (r5): before the first device->host transfer
+of a session the tunnel acknowledges dispatches without waiting for
+real completion (timings look ~1000x too fast); after the first D2H it
+switches to a synchronous mode costing ~30 ms per dispatch PLUS
+compute at a heavily-penalized per-kernel rate (~33 ms/frame marginal
+for the full 1080p toolset inside a lax.scan — the honest engine
+ceiling on this infrastructure, and what device_only_fps measures via
+a two-point slope that cancels the fixed dispatch cost).
+cfg.dispatch_batch=8 amortizes the fixed dispatch cost by scanning 8
+frames per call (byte-identical streams, asserted in tests).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -69,12 +72,13 @@ def main():
     NB = 8                            # dispatch batch (see EncoderConfig)
     n_warm, n_serial, n_pipe = 1 + NB, NB, 4 * NB
     frames = make_clip(W, H, n_warm + n_serial + n_pipe + 1)
+    import collections
+    import jax
+
     enc = H264Encoder(EncoderConfig(width=W, height=H, qp=26, gop=600,
                                     backend="device", deblock=True,
                                     cabac=True, transform8x8=True,
                                     dispatch_batch=NB))
-    import collections
-    import jax
 
     t_compile0 = time.perf_counter()
     # warmup: IDR + one full batch through entropy (compiles everything)
@@ -130,20 +134,34 @@ def main():
     # no host fetch — the pure engine speed a direct-attached host sees
     devfps = None
     if enc._batch_analyzer is not None:
+        # Two-point slope: time ONE dispatch of an 8-frame scan and ONE
+        # of a 32-frame scan; the difference isolates pure on-chip
+        # compute from the tunnel's per-dispatch cost (which ranges
+        # 1-250 ms with the weather and would otherwise dominate).
+        from handbrake_tpu.codecs.h264.encoder_tpu import \
+            build_p_analyzer_batch
         ry, ru, rv = enc.recon_y, enc.recon_u, enc.recon_v
         scal = enc._dbscal(26, 26)
-        srcs = jax.device_put(np.stack([pk] * NB))
-        outs = enc._batch_analyzer(srcs, ry, ru, rv, 26, 26, scal)
-        jax.block_until_ready(outs["packed_small"])
-        tb0 = time.perf_counter()
-        reps = 4
-        for _ in range(reps):
-            # chain the recon carry (serializes batches on-device)
-            outs = enc._batch_analyzer(srcs, outs["carry_y"],
-                                       outs["carry_u"], outs["carry_v"],
-                                       26, 26, scal)
-        jax.block_until_ready(outs["packed_small"])
-        devfps = reps * NB / (time.perf_counter() - tb0)
+        times = {}
+        for nb in (NB, 4 * NB):
+            an = enc._batch_analyzer if nb == NB else \
+                build_p_analyzer_batch(120, 68, nb, deblock=True,
+                                       transform8x8=True)
+            srcs = jax.device_put(np.stack([pk] * nb))
+            outs = an(srcs, ry, ru, rv, 26, 26, scal)
+            jax.block_until_ready(outs["packed_small"])
+            best = None
+            for _ in range(3):
+                t0b = time.perf_counter()
+                outs = an(srcs, outs["carry_y"], outs["carry_u"],
+                          outs["carry_v"], 26, 26, scal)
+                jax.block_until_ready(outs["packed_small"])
+                dtb = time.perf_counter() - t0b
+                best = dtb if best is None else min(best, dtb)
+            times[nb] = best
+        slope = (times[4 * NB] - times[NB]) / (3 * NB)
+        if slope > 0:
+            devfps = 1.0 / slope
 
     print(json.dumps({
         "metric": "h264_1080p_encode_fps_e2e_per_chip",

@@ -15,6 +15,12 @@ as the (sequential) Pallas grid axis:
   * per-step inputs arrive pre-skewed and pre-transposed to
     column-major member-lane layout by cheap XLA ops outside the kernel.
 
+Performance note: this removes the XLA scan's ~250 per-step dispatch/
+update overhead and is the right shape for a directly-attached TPU; on
+the axon dev tunnel the post-first-D2H execution mode imposes a large
+per-kernel penalty that makes it measure ~equal to the XLA scan there
+(see bench.py's platform notes).
+
 Bit-exact vs deblock.py / deblock_tpu.py (asserted in
 tests/test_h264_primitives.py); this is the production device filter
 (x264 frame-filter role, encx264.c b_deblocking_filter).

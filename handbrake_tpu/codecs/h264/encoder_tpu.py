@@ -439,9 +439,11 @@ def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None,
     pallas_deblock = False
     if deblock:
         # all-inter frames only (bS ≤ 2): the fast no-strong variant.
-        # On a real TPU the Pallas wavefront kernel runs the whole scan
-        # as one kernel (~300x the XLA scan measured on v5e); other
-        # backends use the portable XLA formulation.
+        # On a TPU backend the Pallas wavefront kernel runs the whole
+        # scan as ONE kernel (no 250-step XLA scan overhead; on the
+        # axon tunnel's penalized execution mode it measures ~equal to
+        # the XLA scan — the design targets directly-attached TPUs).
+        # Other backends use the portable XLA formulation.
         if jax.default_backend() == "tpu":
             from .deblock_pallas import build_deblock_pallas
             deblock_fn = build_deblock_pallas(mb_w, mb_h,
