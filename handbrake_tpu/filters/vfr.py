@@ -123,11 +123,14 @@ class VFRFilter(Filter):
         return out
 
     def _emit_pfr(self, buf: Buffer) -> list:
-        # cap: drop frames that would exceed peak rate; keep timestamps
+        # cap: drop frames that would exceed peak rate; keep timestamps.
+        # A third-of-a-frame tolerance absorbs container timestamp
+        # jitter (mkv stores ms: a 30 fps stream lands at 2970/3060-tick
+        # intervals) without letting a genuinely faster stream through.
         if self.out_pts is None:
             self.out_pts = Fraction(buf.pts or 0)
         start = Fraction(buf.pts if buf.pts is not None else self.out_pts)
-        if start < self.out_pts:
+        if start < self.out_pts - self.frame_ticks / 3:
             self.drops += 1
             return []
         self.out_pts = start + self.frame_ticks

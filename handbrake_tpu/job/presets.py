@@ -186,8 +186,9 @@ def builtin_presets() -> List[dict]:
                 mux="mkv", fps=30),
         _preset("H.264 MKV 480p30", "H.264 SD", w=720, h=480, quality=22,
                 mux="mkv", fps=30),
-        _preset("VP9 MKV 2160p60 4K", "VP9 4K placeholder", w=3840, h=2160,
-                vcodec="hevc_tpu", quality=28, mux="mkv", fps=60),
+        _preset("VP9 MKV 2160p60 4K", "VP9 4K", w=3840, h=2160,
+                vcodec="vp9", quality=31, mux="mkv", fps=60,
+                aencoder="opus", abitrate=192),
     ]
     hq_extra = [
         _preset("HQ 2160p60 4K HEVC Surround", "High quality 4K HEVC",
@@ -324,12 +325,87 @@ def builtin_presets() -> List[dict]:
         _preset("Production Proxy 540p", "Small editing proxy", w=960, h=540,
                 quality=24, preset_speed="ultrafast", pfr=False),
     ]
+    # VP9/Theora and Opus/Vorbis/MP3 are real now (the libavcodec
+    # catalog layer, codecs/avcodec.py) — the reference's VP9-MKV and
+    # WebM preset families come back as first-class entries
+    webm = [
+        _preset("WebM 2160p60 4K", "WebM VP9+Opus 4K", w=3840, h=2160,
+                vcodec="vp9", quality=31, mux="webm", fps=60,
+                aencoder="opus", abitrate=192),
+        _preset("WebM 1440p60 2.5K", "WebM VP9+Opus 1440p", w=2560,
+                h=1440, vcodec="vp9", quality=31, mux="webm", fps=60,
+                aencoder="opus", abitrate=192),
+        _preset("WebM 1080p30", "WebM VP9+Opus 1080p", w=1920, h=1080,
+                vcodec="vp9", quality=31, mux="webm", fps=30,
+                aencoder="opus", abitrate=160),
+        _preset("WebM 720p30", "WebM VP9+Opus 720p", w=1280, h=720,
+                vcodec="vp9", quality=32, mux="webm", fps=30,
+                aencoder="opus", abitrate=128),
+        _preset("WebM 480p30", "WebM VP9+Opus SD", w=720, h=480,
+                vcodec="vp9", quality=33, mux="webm", fps=30,
+                aencoder="opus", abitrate=96),
+    ]
+    mkv_catalog = [
+        _preset("VP9 MKV 1080p30", "VP9 1080p", w=1920, h=1080,
+                vcodec="vp9", quality=31, mux="mkv", fps=30,
+                aencoder="opus", abitrate=160),
+        _preset("VP9 MKV 720p30", "VP9 720p", w=1280, h=720,
+                vcodec="vp9", quality=32, mux="mkv", fps=30,
+                aencoder="opus", abitrate=128),
+        _preset("VP9 MKV 480p30", "VP9 SD", w=720, h=480, vcodec="vp9",
+                quality=33, mux="mkv", fps=30, aencoder="opus",
+                abitrate=96),
+        _preset("Theora MKV 576p25", "Theora+Vorbis PAL", w=720, h=576,
+                vcodec="theora", vbitrate=1500, quality=None, mux="mkv",
+                fps=25, aencoder="vorbis", abitrate=160),
+        _preset("Theora MKV 480p30", "Theora+Vorbis SD", w=720, h=480,
+                vcodec="theora", vbitrate=1200, quality=None, mux="mkv",
+                fps=30, aencoder="vorbis", abitrate=160),
+        _preset("FFV1 MKV Archival", "Lossless FFV1 + FLAC archival",
+                vcodec="ffv1", vbitrate=0, quality=None, mux="mkv",
+                pfr=False, aencoder="flac", abitrate=0),
+        _preset("MPEG-2 MKV 576p25", "Legacy MPEG-2 PAL", w=720, h=576,
+                vcodec="mpeg2", vbitrate=6000, quality=None, mux="mkv",
+                fps=25, aencoder="mp3", abitrate=192),
+        _preset("MPEG-4 MKV 480p30", "Legacy MPEG-4 ASP SD", w=720,
+                h=480, vcodec="mpeg4", vbitrate=1800, quality=None,
+                mux="mkv", fps=30, aencoder="mp3", abitrate=160),
+    ]
+    audio_variants = [
+        _preset("Fast 1080p30 Opus", "1080p with Opus audio", w=1920,
+                h=1080, quality=22, mux="mkv", fps=30, aencoder="opus",
+                abitrate=128),
+        _preset("Fast 1080p30 MP3", "1080p with MP3 audio", w=1920,
+                h=1080, quality=22, fps=30, aencoder="mp3",
+                abitrate=192),
+        _preset("Fast 1080p30 AC3", "1080p with AC-3 audio", w=1920,
+                h=1080, quality=22, fps=30, aencoder="ac3",
+                abitrate=192),
+        _preset("Fast 1080p30 FLAC", "1080p with lossless audio",
+                w=1920, h=1080, quality=22, mux="mkv", fps=30,
+                aencoder="flac", abitrate=0),
+        _preset("HQ 1080p30 Vorbis Surround", "1080p Vorbis 5.1",
+                w=1920, h=1080, quality=20, mux="mkv", fps=30,
+                aencoder="vorbis", abitrate=320, amixdown="5point1"),
+    ]
+    tpu_extra = [
+        _preset("TPU High B-frames 1080p30", "IB..BP GOP walker 1080p",
+                w=1920, h=1080, quality=22, fps=30),
+        _preset("TPU GOP-Parallel 2160p60 4K", "Mesh-sharded 4K encode",
+                w=3840, h=2160, quality=22, vprofile="high", fps=60),
+        _preset("TPU GOP-Parallel 1080p30", "Mesh-sharded 1080p encode",
+                w=1920, h=1080, quality=22, vprofile="high", fps=30),
+        _preset("TPU Multi-Host 2160p60 4K", "DCN controller scale-out",
+                w=3840, h=2160, quality=22, vprofile="high", fps=60),
+    ]
     return [
         _folder("General", general + hq_extra),
         _folder("Web", web + web_extra),
         _folder("Devices", devices + devices_extra),
-        _folder("Matroska", mkv + mkv_extra),
-        _folder("Hardware", tpu),
+        _folder("Matroska", mkv + mkv_extra + mkv_catalog),
+        _folder("WebM", webm),
+        _folder("Audio", audio_variants),
+        _folder("Hardware", tpu + tpu_extra),
         _folder("Production", production),
     ]
 
