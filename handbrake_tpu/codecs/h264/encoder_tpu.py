@@ -407,8 +407,10 @@ def build_p_analyzer_batch(mb_w: int, mb_h: int, n_frames: int,
             u = src[ny:ny + nc].reshape(H // 2, W // 2)
             v = src[ny + nc:].reshape(H // 2, W // 2)
             d = fn(y, u, v, ry, ru, rv, qp, qpc, dbscal)
-            out = {k: d[k] for k in d if k != "payload"}
+            out = {k: d[k] for k in d
+                   if k not in ("payload", "payload_nib")}
             out["payload"] = jnp.stack(d["payload"])
+            out["payload_nib"] = jnp.stack(d["payload_nib"])
             return (d["recon_y"], d["urec"], d["vrec"]), out
         carry, outs = jax.lax.scan(step, (ref_y, ref_u, ref_v), srcs)
         outs["carry_y"], outs["carry_u"], outs["carry_v"] = carry
@@ -660,6 +662,16 @@ def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None,
             jnp.clip(payload16, -128, 127).astype(jnp.int8),
             coded_idx, axis=0).reshape(PAYLOAD_CHUNKS, cap // PAYLOAD_CHUNKS,
                                        392)
+        # nibble-packed variant: at working QPs nearly every level fits
+        # 4-bit two's complement, halving the dominant device→host
+        # payload; MBs with any |level| > 7 are flagged (nib_ok=0) and
+        # the host fetches their int8 rows individually
+        nib_ok = ((payload16 >= -8) & (payload16 <= 7)).all(axis=1)
+        p4 = (payload16 & 15).astype(jnp.int32)
+        taken4 = jnp.take(p4, coded_idx, axis=0)          # (cap, 392)
+        payload_nib = (taken4[:, 0::2] | (taken4[:, 1::2] << 4)) \
+            .astype(jnp.uint8).reshape(PAYLOAD_CHUNKS,
+                                       cap // PAYLOAD_CHUNKS, 196)
 
         # Assemble recon planes on device and compact dtypes: host↔device
         # transfer is the pipeline's bandwidth bottleneck (the reference's
@@ -690,6 +702,7 @@ def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None,
             _bytes(vnnz.astype(jnp.int8)),
             _bytes(coded_idx.astype(
                 jnp.int16 if n_mb <= 32767 else jnp.int32)),
+            _bytes(nib_ok.astype(jnp.int8)),
         ])
 
         rec_y_p = plane(recon_y, 16)
@@ -721,6 +734,7 @@ def build_p_analyzer_fn(mb_w: int, mb_h: int, interpret: bool | None = None,
             # list of chunk arrays: the host fetches only the buckets that
             # actually hold coded MBs (each is a separate jit output)
             "payload": [payload8[c] for c in range(PAYLOAD_CHUNKS)],
+            "payload_nib": [payload_nib[c] for c in range(PAYLOAD_CHUNKS)],
             "luma_lv": lv.astype(jnp.int16),
             "luma_nnz": nnz.astype(jnp.int8),
             "cbp_luma": cbp_luma.astype(jnp.int8),
