@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gop-parallel", type=int, default=0,
                    help="shard the encode into N keyframe-aligned GOP "
                         "chunks over the device mesh (h264)")
+    p.add_argument("--tile-parallel", type=int, default=0,
+                   help="shard NLMeans-class filters across N devices "
+                        "with halo exchange (taskset analog)")
     p.add_argument("--bframes", type=int, default=0,
                    help="B-frames between anchors (h264; IB..BP GOP "
                         "via the host walker, x264 bframes role)")
@@ -191,6 +194,8 @@ def apply_cli_overrides(job: Job, args) -> Job:
         job.gop_parallel = args.gop_parallel
     if args.bframes:
         job.bframes = args.bframes
+    if args.tile_parallel:
+        job.tile_parallel = args.tile_parallel
     if args.checkpoint or args.resume:
         job.checkpoint = True
     if args.resume:

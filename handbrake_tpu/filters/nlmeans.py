@@ -89,8 +89,48 @@ class NLMeansFilter(Filter):
                       frames=max(1, int(s.get("cb_frame_count", fc))))
         self.hist: list = []  # ring of previous frames' planes
         self.maxval = (1 << fi.pix_fmt.bit_depth) - 1
+        # tile-parallel: shard each plane over N devices with ppermute
+        # halo exchange (parallel/mesh.py, SURVEY §2.8.2 — the taskset
+        # slice pool re-expressed on the mesh); bit-exact vs unsharded
+        self._tiles = int(s.get("tile_parallel", 0) or 0)
+        self._tile_mesh = None
+        self._tile_fns: dict = {}
+        if self._tiles > 1:
+            import jax
+            devs = jax.devices()
+            if len(devs) >= self._tiles:
+                import numpy as _np
+                from jax.sharding import Mesh
+                self._tile_mesh = Mesh(
+                    _np.asarray(devs[:self._tiles]), ("tile",))
+            else:
+                from ..utils.logging import log
+                log(f"nlmeans: tile_parallel={self._tiles} but only "
+                    f"{len(devs)} devices — running unsharded")
         self.fi = fi.copy()
         return self.fi
+
+    def _sharded(self, cfg, H, W):
+        """Cached tile-sharded kernel for this plane geometry, or None
+        when the shard constraints don't hold (tiny planes)."""
+        if self._tile_mesh is None:
+            return None
+        n = self._tiles
+        halo = cfg["rng"] + cfg["patch"]
+        Hp = (H + n - 1) // n * n
+        if Hp // n < halo:
+            return None
+        key = (H, W, cfg["strength"], cfg["origin_tune"], cfg["patch"],
+               cfg["rng"])
+        fn = self._tile_fns.get(key)
+        if fn is None:
+            from ..parallel.mesh import tile_shard_nlmeans
+            fn = tile_shard_nlmeans(
+                self._tile_mesh, strength=cfg["strength"],
+                origin_tune=cfg["origin_tune"], patch=cfg["patch"],
+                rng=cfg["rng"], maxval=self.maxval)
+            self._tile_fns[key] = fn
+        return fn, Hp
 
     def work(self, buf: Buffer) -> list:
         if buf.is_eof() or buf.planes is None:
@@ -106,6 +146,21 @@ class NLMeansFilter(Filter):
             past = [h[i] for h in self.hist[-(cfg["frames"] - 1):]] \
                 if cfg["frames"] > 1 else []
             refs = jnp.stack([pj] + past)
+            sh = self._sharded(cfg, pj.shape[0], pj.shape[1])
+            if sh is not None:
+                fn, Hp = sh
+                H0 = pj.shape[0]
+                if Hp != H0:
+                    # edge-replicate rows to the tile multiple: identical
+                    # to the kernel's clip-based boundary handling, so
+                    # the kept rows stay bit-exact
+                    pad = ((0, Hp - H0), (0, 0))
+                    pj2 = jnp.pad(pj, pad, mode="edge")
+                    refs2 = jnp.pad(refs, ((0, 0),) + pad, mode="edge")
+                else:
+                    pj2, refs2 = pj, refs
+                planes.append(fn(pj2, refs2)[:H0])
+                continue
             planes.append(nlmeans_plane(
                 pj, refs, strength=cfg["strength"],
                 origin_tune=cfg["origin_tune"], patch=cfg["patch"],

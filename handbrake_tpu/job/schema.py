@@ -171,6 +171,10 @@ class Job:
     # GOP-parallel encode: shard the video into N keyframe-aligned chunks
     # over the device mesh (parallel/gop.py; SURVEY §2.8.3).  0/1 = off.
     gop_parallel: int = 0
+    # Tile-parallel filters: shard the expensive spatial filters
+    # (NLMeans) across N devices with ppermute halo exchange
+    # (parallel/mesh.py; SURVEY §2.8.2 taskset analog).  0/1 = off.
+    tile_parallel: int = 0
     # Engine-internal (interjob analog)
     pass_id: int = 0           # -1 subtitle scan, 1 analysis, 0/2 final
     pass_count: int = 1
@@ -210,6 +214,8 @@ class Job:
                 "Options": self.encoder_options,
                 **({"GopParallel": self.gop_parallel}
                    if self.gop_parallel else {}),
+                **({"TileParallel": self.tile_parallel}
+                   if self.tile_parallel else {}),
                 **({"Quality": self.quality} if self.quality is not None else
                    {"Bitrate": self.vbitrate, "MultiPass": self.multipass,
                     "Turbo": self.turbo_first_pass}),
@@ -290,6 +296,7 @@ class Job:
         j.encoder_level = v.get("Level", "auto") or "auto"
         j.encoder_options = v.get("Options", "") or ""
         j.gop_parallel = int(v.get("GopParallel", 0) or 0)
+        j.tile_parallel = int(v.get("TileParallel", 0) or 0)
         j.color = {k[len("Color"):]: val for k, val in v.items()
                    if k.startswith("Color")}
         a = d.get("Audio", {})

@@ -454,6 +454,16 @@ def _run(job: Job, src, state, die, pause=None) -> dict:
         from .job import schema as S
         if not any(f["ID"] == S.FILTER_RENDER_SUB for f in filter_list):
             filter_list.append({"ID": S.FILTER_RENDER_SUB, "Settings": {}})
+    tp = int(getattr(job, "tile_parallel", 0) or 0)
+    if tp > 1:
+        # tile-shard the expensive spatial filters across the device
+        # mesh (SURVEY §2.8.2, the taskset slice-pool analog): each
+        # filter instance decides per plane whether the halo-exchange
+        # kernel applies (parallel/mesh.py), bit-exact vs unsharded
+        from .job import schema as _SF
+        for f in filter_list:
+            if f["ID"] in (_SF.FILTER_NLMEANS,):
+                f.setdefault("Settings", {})["tile_parallel"] = tp
     graph = FilterGraph(filter_list, fi)
     out_fi = graph.fi_out
     out_w, out_h = out_fi.geometry.width, out_fi.geometry.height
