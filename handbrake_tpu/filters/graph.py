@@ -15,9 +15,9 @@ from ..utils.logging import log, error
 from .base import Filter, FilterError, FilterInit, create_filter
 
 # import all filter modules so their @register decorators run
-from . import (bm3d, comb_detect, cropscale, colorspace, deband,  # noqa: F401
-               deblock, decomb, deinterlace, denoise, detelecine,
-               nlmeans, rendersub, rpu, sharp, simple, vfr)
+from . import (avfilter, bm3d, comb_detect, cropscale,  # noqa: F401
+               colorspace, deband, deblock, decomb, deinterlace, denoise,
+               detelecine, nlmeans, rendersub, rpu, sharp, simple, vfr)
 
 
 class FilterGraph:

@@ -536,3 +536,51 @@ def test_nlmeans_tile_sharded_bit_identical():
                                 patch=patch, rng=srange, maxval=255)
         got = np.asarray(fn(jnp.asarray(cur), jnp.asarray(refs)))
         assert np.array_equal(got, ref_out), (patch, srange)
+
+
+def test_avfilter_escape_graph():
+    """FILTER_AVFILTER (avfilter.c user escape role): a graph string of
+    native filters chained left-to-right matches applying the same
+    filters individually."""
+    import numpy as np
+    from handbrake_tpu.core.buffer import Buffer
+    from handbrake_tpu.filters.base import FilterInit, create_filter
+    from handbrake_tpu.job import schema as S
+    from handbrake_tpu.core.buffer import PIX_FMTS
+
+    rng = np.random.default_rng(3)
+    W, H = 64, 48
+    y = rng.integers(0, 255, (H, W), np.uint8)
+    u = rng.integers(0, 255, (H // 2, W // 2), np.uint8)
+    v = rng.integers(0, 255, (H // 2, W // 2), np.uint8)
+
+    def fresh():
+        b = Buffer(planes=[y.copy(), u.copy(), v.copy()],
+                   pix_fmt=PIX_FMTS["yuv420p"], pts=0, duration=3003)
+        return b
+
+    def mk_fi():
+        from handbrake_tpu.filters.base import FilterInit
+        from handbrake_tpu.core.buffer import Geometry
+        from fractions import Fraction
+        return FilterInit(geometry=Geometry(W, H, 1, 1),
+                          pix_fmt=PIX_FMTS["yuv420p"],
+                          vrate=Fraction(30, 1))
+
+    esc = create_filter(S.FILTER_AVFILTER,
+                        {"graph": "hqdn3d,unsharp"})
+    esc.init(mk_fi())
+    out_esc = esc.work(fresh())
+
+    f1 = create_filter(S.FILTER_DENOISE, {})
+    f2 = create_filter(S.FILTER_UNSHARP, {})
+    fi = mk_fi()
+    fi = f1.init(fi)
+    f2.init(fi)
+    mid = f1.work(fresh())
+    out_ref = []
+    for b in mid:
+        out_ref.extend(f2.work(b))
+    assert len(out_esc) == len(out_ref) == 1
+    for pe, pr in zip(out_esc[0].planes, out_ref[0].planes):
+        assert (np.asarray(pe) == np.asarray(pr)).all()
