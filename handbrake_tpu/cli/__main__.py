@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="constant quality (CRF-like)")
     p.add_argument("-b", "--vb", type=int, help="video bitrate kbps")
     p.add_argument("--two-pass", action="store_true")
+    p.add_argument("-x", "--encopts", default=None,
+                   help="encoder options string, e.g. keyint=120:cabac=1")
+    p.add_argument("--comb-detect", nargs="?", const="default",
+                   default=None, help="combing detection (comb_detect.c)")
+    p.add_argument("--colorspace", default=None,
+                   help="colorspace filter preset (bt709/bt2020/...)")
     p.add_argument("--encoder-preset", default=None)
     p.add_argument("--encoder-profile", default=None)
     p.add_argument("--encoder-level", default=None)
@@ -194,6 +200,8 @@ def apply_cli_overrides(job: Job, args) -> Job:
         job.gop_parallel = args.gop_parallel
     if args.bframes:
         job.bframes = args.bframes
+    if args.encopts:
+        job.encoder_options = args.encopts
     if args.tile_parallel:
         job.tile_parallel = args.tile_parallel
     if args.checkpoint or args.resume:
@@ -242,6 +250,12 @@ def apply_cli_overrides(job: Job, args) -> Job:
     if args.chroma_smooth:
         set_filter(S.FILTER_CHROMA_SMOOTH, param.generate_filter_settings(
             S.FILTER_CHROMA_SMOOTH, args.chroma_smooth))
+    if args.comb_detect:
+        set_filter(S.FILTER_COMB_DETECT, param.generate_filter_settings(
+            S.FILTER_COMB_DETECT, args.comb_detect))
+    if args.colorspace:
+        set_filter(S.FILTER_COLORSPACE, param.generate_filter_settings(
+            S.FILTER_COLORSPACE, args.colorspace))
     if args.grayscale:
         set_filter(S.FILTER_GRAYSCALE, {})
     if args.rotate:
