@@ -586,6 +586,14 @@ class H264Encoder:
         outs = self._batch_analyzer(srcs, *refs, qp, qpc,
                                     self._dbscal(qp, qpc))
         rec = _BatchRec(outs, len(accum), refs)
+        # eagerly start the D2H copies of everything the entropy stage
+        # will fetch: under pipelined use these overlap the next batch's
+        # upload + device scan
+        outs["packed_small"].copy_to_host_async()
+        pre = outs.get("payload_nib")
+        if pre is None:
+            pre = outs["payload"]
+        pre[:, :min(pre.shape[1], self._nch_guess)].copy_to_host_async()
         for k, p in enumerate(accum):
             p.batch = (rec, k)
             p.batch_next = accum[k + 1] if k + 1 < len(accum) else None
