@@ -240,3 +240,86 @@ def test_universal_hevc_input(tmp_path):
         1e-9, np.mean((dec[2][0][:H, :W].astype(np.float64)
                        - frames[2][0]) ** 2)))
     assert p0 > 26, p0
+
+
+def test_bd_style_ts_eac3_dts_to_aac(tmp_path):
+    """BD-style M2TS flagship operation (VERDICT r4 #5 done criterion):
+    an H.264 TS with E-AC-3 (stream_type 0x87) and DTS (0x82) audio
+    tracks transcodes to AAC at 160 kbps end-to-end."""
+    from test_ts import pat, psi_packet, pes, ts_packets
+    from handbrake_tpu.codecs.h264.encoder import EncoderConfig, H264Encoder
+
+    sr = 48000
+    pcm = _tone(sr, sr)
+    ee = av.AVAudioEncoder("eac3", sr, 2, 256000)
+    eac3_pkts = ee.encode(pcm) + ee.flush()
+    de = av.AVAudioEncoder("dca", sr, 2, 768000)
+    dts_pkts = de.encode(pcm) + de.flush()
+
+    def pmt3(cc=0):
+        es = (bytes([0x1B, 0xE1, 0x00, 0xF0, 0x00])      # H.264 @0x100
+              + bytes([0x87, 0xE1, 0x01, 0xF0, 0x00])    # E-AC-3 @0x101
+              + bytes([0x82, 0xE1, 0x02, 0xF0, 0x00]))   # DTS @0x102
+        body = (b"\x02"
+                + (0xB000 | (9 + 4 + len(es) + 4)).to_bytes(2, "big")
+                + b"\x00\x01\xc1\x00\x00"
+                + bytes([0xE1, 0x00]) + b"\xf0\x00" + es)
+        return psi_packet(0x20, body, cc)
+
+    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=28, gop=N))
+    base = (np.add.outer(np.arange(H), np.arange(W)) * 3 % 256).astype(
+        np.uint8)
+    u = np.full((H // 2, W // 2), 110, np.uint8)
+    v = np.full((H // 2, W // 2), 60, np.uint8)
+    out = pat() + pmt3()
+    cc = 0
+    n_frames = 30
+    for i in range(n_frames):
+        au = enc.encode_frame(np.roll(base, i % 8, axis=1), u, v)
+        out += ts_packets(0x100, pes(0xE0, 90000 + i * 3003, au), cc)
+        cc += 200
+    apts = 90000
+    for p, d in eac3_pkts:
+        out += ts_packets(0x101, pes(0xBD, apts, p), cc)
+        apts += int(round(d * 90000 / sr))
+        cc += 100
+    apts = 90000
+    for p, d in dts_pkts:
+        out += ts_packets(0x102, pes(0xBD, apts, p), cc)
+        apts += int(round(d * 90000 / sr))
+        cc += 100
+    src = str(tmp_path / "bd.m2ts")
+    with open(src, "wb") as f:
+        f.write(out)
+
+    from handbrake_tpu.sources.probe import open_source
+    s = open_source(src)
+    codecs = sorted(t.codec for t in s.tracks if t.kind == "audio")
+    assert codecs == ["dts", "eac3"], codecs
+    s.close()
+
+    dst = str(tmp_path / "out.mp4")
+    j = Job(path=src, file=dst, mux="mp4", quality=30.0)
+    j.audio = [AudioJobTrack(track=0, encoder="aac", mixdown="stereo",
+                             bitrate=160),
+               AudioJobTrack(track=1, encoder="aac", mixdown="stereo",
+                             bitrate=160)]
+    stats = work.do_job(j)
+    assert not stats.get("error"), stats
+    assert stats["frames_out"] == n_frames, stats
+    so = open_source(dst)
+    atracks = [i for i, t in enumerate(so.tracks) if t.kind == "audio"]
+    assert len(atracks) == 2
+    from handbrake_tpu.audio.aacdec import AACDecoder
+    for ti in atracks:
+        dec = AACDecoder(bytes(so.tracks[ti].extradata))
+        pcm_out = []
+        for trk, p in so.packets():
+            if trk == ti:
+                f = dec.decode_frame(bytes(p.data))
+                if f is not None and len(f):
+                    pcm_out.append(f)
+        pcm_out = np.concatenate(pcm_out, 0)
+        assert pcm_out.shape[0] > 8192
+        assert abs(_peak_hz(np.asarray(pcm_out, np.float32), sr)
+                   - 440) < 25
