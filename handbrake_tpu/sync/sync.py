@@ -174,7 +174,10 @@ class SyncCore:
         Returns 0..2 buffers (a synthesized silence fill may precede buf)."""
         if st.kind == "subtitle":
             # subtitle cues keep author timing: overlaps/gaps are legal
-            # (decsrtsub semantics); only the start trim applies
+            # at sync level (decsrtsub semantics; burn-in consumes cues
+            # the moment they arrive).  Containers whose sample model
+            # forbids overlap repair it at mux time (mp4 tx3g trims the
+            # late cue's start — sync.c:1162 overlap role).
             return [buf]
         out = []
         if st.next_pts is None:

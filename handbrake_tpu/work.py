@@ -683,6 +683,19 @@ class _DecodeSyncStage(WorkObject):
                 self.sync.set_eof(idx)
             out = self.sync.poll()
             out += self.sync.poll()      # tail after EOF
+            # cadence classifier consumer (checkCadence sync.c:1305):
+            # the measured frame-duration pattern lands in the job
+            # stats; a telecine cadence without an active detelecine
+            # filter is logged (the HandBrake diagnostic role)
+            cad = self.sync.cadence.stats() \
+                if hasattr(self.sync.cadence, "stats") else \
+                {"cadence": self.sync.cadence.classify(),
+                 "breaks": self.sync.cadence.breaks}
+            self.stats["cadence"] = cad["cadence"]
+            self.stats["cadence_breaks"] = cad["breaks"]
+            if cad["cadence"] == "telecine":
+                log("sync: 3:2 telecine cadence detected — consider "
+                    "--detelecine")
             return out + [buf]
         trk = buf.stream_id
         if trk == self.video_track:
@@ -1604,10 +1617,18 @@ class _MuxAdapter:
         if self.kind in ("mkv", "webm"):
             self.w.write_sample(tr, text, pts_90k=pts, duration_90k=dur)
             return
-        # mp4 tx3g: consecutive samples; gaps carry empty cues
+        # mp4 tx3g: consecutive samples; gaps carry empty cues and an
+        # OVERLAPPING cue is repaired by trimming its start to the
+        # previous cue's end (sync.c:1162 subtitle-overlap role — the
+        # tx3g sample model cannot express simultaneous cues)
         last = self._sub_last_end.get(k, 0)
         if pts > last:
             self.w.write_sample(tr, b"\x00\x00", duration=pts - last)
+        elif pts < last:
+            dur = max(0, (pts + dur) - last)
+            pts = last
+            if dur == 0:
+                return
         sample = len(text).to_bytes(2, "big") + text
         self.w.write_sample(tr, sample, duration=dur)
         self._sub_last_end[k] = pts + dur

@@ -244,3 +244,39 @@ def test_search_state_progress():
         s.queue(v, b)
     s.poll()
     assert s.search_state() is None          # start established
+
+
+def test_subtitle_overlap_repair_mp4_tx3g(tmp_path):
+    """sync.c:1162 subtitle-overlap role at the mux boundary: the mp4
+    tx3g sample model cannot express simultaneous cues, so an
+    overlapping cue's start is trimmed to the previous cue's end."""
+    from handbrake_tpu.core.buffer import Buffer
+    from handbrake_tpu.work import _MuxAdapter
+    from handbrake_tpu.mux.mp4 import MP4Writer
+
+    class _W:
+        pass
+
+    m = _MuxAdapter.__new__(_MuxAdapter)
+    m.kind = "mp4"
+    m._smap = {0: 0}
+    m._sub_last_end = {}
+    m.w = MP4Writer(str(tmp_path / "s.mp4"))
+    m.w.add_subtitle_track(codec="tx3g")
+    c1 = Buffer(track_kind="subtitle", pts=0, duration=10000)
+    c1.data = b"one"
+    c2 = Buffer(track_kind="subtitle", pts=6000, duration=4000)
+    c2.data = b"two"
+    m.write_subtitle(0, c1)
+    m.write_subtitle(0, c2)
+    t = m.w.tracks[0]
+    # samples: "one" full 10000, then "two" trimmed to [10000, 10000+0)?
+    # overlap 6000<10000: new start trims to 10000, dur 0 -> dropped
+    assert len(t.samples) == 1
+    c3 = Buffer(track_kind="subtitle", pts=8000, duration=6000)
+    c3.data = b"three"
+    m.write_subtitle(0, c3)
+    # trimmed: starts at 10000, duration 4000
+    assert len(t.samples) == 2
+    assert t.samples[1].duration == 4000
+    assert m._sub_last_end[0] == 14000
