@@ -45,21 +45,42 @@ _WINDOW = np.sin(np.pi / 2048 * (np.arange(2048) + 0.5))
 
 
 class AACEncoder:
-    """Constant-quantizer AAC-LC. quality: scalefactor step ~ qp analog
-    (lower = better; 60 transparent-ish, 90 low rate)."""
+    """AAC-LC encoder. quality: scalefactor step ~ qp analog (lower =
+    better; 60 transparent-ish, 90 low rate).
+
+    bitrate > 0 enables closed-loop ABR: the per-frame global quantizer
+    adapts toward the bit budget (the encavcodecaudio.c rate-control
+    role) from the `quality` starting point."""
 
     def __init__(self, sample_rate: int = 48000, channels: int = 2,
-                 quality: int = 132):
+                 quality: int = 132, bitrate: int = 0):
         if sample_rate not in (44100, 48000):
             raise ValueError("AAC-LC encoder supports 44.1/48 kHz")
         self.sr = sample_rate
         self.sr_index = SAMPLE_RATES.index(sample_rate)
         self.channels = min(2, channels)
         self.sf = int(quality)
+        self.bitrate = int(bitrate)
+        self._rc_err = 0.0          # accumulated bits over/under budget
         self.swb = SWB_1024_48
         self.max_sfb = len(self.swb) - 1
         self._hist = np.zeros((self.channels, 1024), np.float32)
         self._pend = np.zeros((0, self.channels), np.float32)
+
+    def _rc_update(self, au_bytes: int):
+        """Nudge the quantizer toward the ABR budget (±1 sf per frame,
+        each sf step ≈ ±19% rate via the 2^(sf/4) step size)."""
+        if self.bitrate <= 0:
+            return
+        target = self.bitrate * 1024.0 / self.sr
+        self._rc_err += au_bytes * 8 - target
+        # leaky integrator: react within ~10 frames, forget old error
+        self._rc_err *= 0.9
+        ratio = self._rc_err / max(1.0, target)
+        if ratio > 1.0:
+            self.sf = min(200, self.sf + min(4, int(ratio)))
+        elif ratio < -1.0:
+            self.sf = max(60, self.sf - min(4, int(-ratio)))
 
     # -- config ------------------------------------------------------------
     def audio_specific_config(self) -> bytes:
@@ -204,7 +225,9 @@ class AACEncoder:
             self._pend = self._pend[1024:]
             blocks = np.concatenate([self._hist, cur], axis=1)
             self._hist = cur
-            out.append(self._encode_frame(blocks))
+            au = self._encode_frame(blocks)
+            self._rc_update(len(au))
+            out.append(au)
         return out
 
     def flush(self) -> list:

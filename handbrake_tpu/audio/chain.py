@@ -100,8 +100,10 @@ class AudioChain:
             br = float(self.spec.bitrate or 160)
             import math
             quality = int(round(132 - 6 * math.log2(max(br, 32) / 160.0)))
+            # closed-loop ABR from the quality-mapped starting point
             return AACEncoder(self.sr_out, self.out_channels,
-                              quality=min(200, max(110, quality)))
+                              quality=min(200, max(110, quality)),
+                              bitrate=int(br * 1000))
         return None                      # pcm / copy
 
     def is_passthrough(self) -> bool:
